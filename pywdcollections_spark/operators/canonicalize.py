@@ -1,0 +1,55 @@
+"""Canonicalization: last-wins dedup of candidate saves -> staged triples.
+
+The reference stages values with UPDATE-on-key upserts, so within one
+page the LAST save of a (subject, source, pred) wins
+(pywdcollections.py:407-411); pages are unique per (entity, site)
+(interwiki unique key :48), so (subj, source, pred) is the staging key
+and (template_idx, param_idx) the save order.
+
+Skew: one head subject carries ~10^4x the median saves (FIXTURES.md
+skew clause). ``max_by`` partial-aggregates map-side, but we still run
+the explicit two-phase SALTED aggregation the north rule requires —
+phase 1 reduces each hot key inside salt buckets before any single
+reducer sees the whole key. The same helper backs the error/metrics
+``collect_list`` aggregations where partial aggregation does NOT
+shrink data and salting is genuinely load-bearing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STAGE_KEY = ["subj", "source", "pred"]
+
+
+def salted_last_wins(df: DataFrame, keys: list[str], order_cols: list[str],
+                     payload_cols: list[str], salt_buckets: int = 16) -> DataFrame:
+    """Two-phase salted argmax: groupBy(keys+salt) max_by -> groupBy(keys)
+    max_by. Deterministic for any row order."""
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    pay = F.struct(*[F.col(c) for c in order_cols + payload_cols])
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)))
+    phase1 = (salted.groupBy(*keys, "_salt")
+              .agg(F.max_by(pay, ordk).alias("_w")))
+    ordk2 = F.struct(*[F.col(f"_w.{c}") for c in order_cols])
+    phase2 = (phase1.groupBy(*keys)
+              .agg(F.max_by(F.col("_w"), ordk2).alias("_w")))
+    return phase2.select(*keys, *[F.col(f"_w.{c}").alias(c)
+                                  for c in order_cols + payload_cols])
+
+
+def canonicalize(cands: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Candidate saves -> staged triples (the `harvested` analogue):
+    subj, pred, obj_raw, datatype, source, url, warc_ts."""
+    df = (cands
+          .withColumnRenamed("qid", "subj")
+          .withColumn("source", F.col("site"))
+          .select("subj", "source", "pred", "datatype", "url", "warc_ts",
+                  "template_idx", "param_idx", F.col("val").alias("obj_raw")))
+    return (salted_last_wins(df, STAGE_KEY,
+                             order_cols=["template_idx", "param_idx"],
+                             payload_cols=["obj_raw", "datatype", "url", "warc_ts"],
+                             salt_buckets=salt_buckets)
+            .select("subj", "pred", "obj_raw", "datatype", "source", "url", "warc_ts"))

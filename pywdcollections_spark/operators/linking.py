@@ -1,0 +1,101 @@
+"""Entity-linking stage: wikilink mentions -> canonical QIDs.
+
+Re-expresses find_items_in_value (pywdcollections.py:203-224) as
+broadcast map-side joins — the "batched dictionary scorer" of the
+north star. Semantics preserved exactly, including the quirks:
+
+ * mentions = non-greedy DOTALL ``[[...]]`` capture, stripped,
+   namespace (':') links skipped (:204-209);
+ * resolution = page exists (sitelinks dim) after redirect following
+   (:211-216);
+ * constraint check is ONE-hop: any P31 of the target in the
+   constraint set, or any P279 of that P31-class in it (:1017-1039 via
+   :217) — deliberately not the transitive closure of the seed query;
+ * selection for multiple=False (every entity prop, registry): the
+   first constraint-PASSING mention wins (early return :218-219);
+   otherwise constraint-failing resolved mentions accumulate
+   (:222-223 — quirk: they are kept) and exactly one resolved mention
+   wins anyway; otherwise NULL -> no triple (:224).
+
+At fixture scale all dims broadcast; at web scale sitelinks is a big
+table — the join degrades gracefully to shuffle joins with AQE skew
+handling (head titles like country names are the classic skew key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.functions.udfs import wikilink_mentions_udf
+
+_GRAIN = ["url", "warc_ts", "site", "qid", "template_idx", "param_idx",
+          "prop_key", "pred", "datatype"]
+
+
+def link_entity_values(cands: DataFrame, sitelinks: DataFrame, redirects: DataFrame,
+                       target_p31: DataFrame, class_p279: DataFrame,
+                       prop_constraints: DataFrame,
+                       broadcast_dims: bool = True) -> DataFrame:
+    """Replace ``val`` of entity-datatype candidate rows with the linked
+    QID; rows that resolve to nothing are dropped (no triple)."""
+    b = F.broadcast if broadcast_dims else (lambda df: df)
+
+    ent = cands.filter(F.col("datatype") == "entity")
+    rest = cands.filter(F.col("datatype") != "entity")
+
+    mentions = (ent
+                .select(*_GRAIN, "val",
+                        F.posexplode(wikilink_mentions_udf("val"))
+                         .alias("mention_idx", "mention")))
+
+    rd = b(redirects.select("site", "from_title", "to_title"))
+    m = (mentions
+         .join(rd, (mentions["site"] == rd["site"])
+               & (mentions["mention"] == rd["from_title"]), "left")
+         .drop(rd["site"])
+         .withColumn("target_title", F.coalesce("to_title", "mention"))
+         .drop("from_title", "to_title"))
+
+    sl = b(sitelinks.select(F.col("site").alias("sl_site"),
+                            F.col("title").alias("sl_title"),
+                            F.col("qid").alias("target_qid")))
+    m = m.join(sl, (m["site"] == sl["sl_site"])
+               & (m["target_title"] == sl["sl_title"]), "inner") \
+         .drop("sl_site", "sl_title")
+
+    # one-hop class data: (target_qid, p31, p279_super) — dim-sized
+    p31aug = b(target_p31
+               .join(class_p279, target_p31["p31"] == class_p279["class_qid"], "left")
+               .select(F.col("qid").alias("cls_qid"), "p31",
+                       F.col("super_qid").alias("p279")))
+    pc = b(prop_constraints.select(F.col("pred").alias("pc_pred"), "constraints"))
+
+    m = (m.join(pc, m["pred"] == pc["pc_pred"], "left").drop("pc_pred")
+          .join(p31aug, m["target_qid"] == p31aug["cls_qid"], "left").drop("cls_qid")
+          .withColumn("hop_pass",
+                      F.coalesce(F.array_contains("constraints", F.col("p31")), F.lit(False))
+                      | F.coalesce(F.array_contains("constraints", F.col("p279")), F.lit(False))))
+
+    # mention-level verdict (a target may have several P31/P279 rows)
+    mention_verdict = (m.groupBy(*_GRAIN, "mention_idx", "target_qid")
+                        .agg(F.max("hop_pass").alias("cpass"),
+                             F.first("constraints").alias("constraints"))
+                        .withColumn("cpass",
+                                    (F.size(F.coalesce("constraints", F.array())) > 0)
+                                    & F.col("cpass")))
+
+    # value-level selection (reference return rule :218-224)
+    picked = (mention_verdict
+              .groupBy(*_GRAIN)
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("mention_idx", "cpass", "target_qid"))).alias("ms"))
+              .withColumn("passing", F.expr("filter(ms, x -> x.cpass)"))
+              .withColumn("val", F.expr(
+                  "CASE WHEN size(passing) > 0 THEN element_at(passing, 1).target_qid "
+                  "WHEN size(ms) = 1 THEN element_at(ms, 1).target_qid "
+                  "ELSE NULL END"))
+              .filter(F.col("val").isNotNull())
+              .select(*_GRAIN, "val"))
+
+    return rest.unionByName(picked)

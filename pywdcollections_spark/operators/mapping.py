@@ -1,0 +1,127 @@
+"""Mapping stage: template rows × broadcast template_map -> candidate
+(pred, raw value) rows.
+
+Re-expresses the reference's per-param loop
+(pywdcollections.py:332-393) as set operations:
+ * template-redirect resolution = broadcast join (J5, :320-330);
+ * named params: split-on-'=' exactly-2 rule (:359-361), key
+   strip+lower / value strip (:362-363), len>2 filter (:364);
+ * positional: first len>2 param (:386-393 — the break fires only
+   after a successful save, so earlier short params are skipped);
+ * split 625a/625b pairing into one P625 (:370-382);
+ * named-625 normalization (:374-379);
+ * positional-625 literal '%s|%s|0' defect (:390) mirrored.
+
+Output: url, warc_ts, site, qid, template_idx, param_idx, prop_key,
+pred, datatype, val — entity-datatype rows still carry the raw value
+(linking happens next stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.functions.udfs import (
+    coord_named_normalize_udf,
+    coord_positional_udf,
+    python_trim,
+)
+
+_KEY_COLS = ["url", "warc_ts", "site", "qid", "template_idx"]
+_OUT_COLS = _KEY_COLS + ["param_idx", "prop_key", "pred", "datatype", "val"]
+
+
+def resolve_template_names(templates: DataFrame, template_redirects: DataFrame) -> DataFrame:
+    """J5: canonicalize template names through the redirect dim."""
+    dim = F.broadcast(template_redirects.select("site", "alias_lc", "canonical_lc"))
+    return (templates
+            .join(dim, (templates["site"] == dim["site"])
+                  & (templates["tname"] == dim["alias_lc"]), "left")
+            .drop(dim["site"])
+            .withColumn("template_lc", F.coalesce("canonical_lc", "tname"))
+            .drop("alias_lc", "canonical_lc", "tname"))
+
+
+def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame:
+    """Named-parameter path. ``templates`` must carry template_lc."""
+    named_map = F.broadcast(template_map.filter(F.col("param_lc").isNotNull()))
+    params = (templates
+              .select(*_KEY_COLS, "template_lc",
+                      F.posexplode("params").alias("param_idx", "param"))
+              .withColumn("kv", F.split("param", "="))
+              .filter(F.size("kv") == 2)  # exactly-2 rule (:360)
+              .withColumn("pkey", F.lower(python_trim(F.col("kv")[0])))
+              .withColumn("val", python_trim(F.col("kv")[1]))
+              .filter(F.length("val") > 2))
+    matched = params.join(
+        named_map,
+        (params["site"] == named_map["site"])
+        & (params["template_lc"] == named_map["template_lc"])
+        & (params["pkey"] == named_map["param_lc"]),
+    ).drop(named_map["site"]).drop(named_map["template_lc"])
+
+    plain = (matched
+             .filter(~F.col("prop_key").isin("625", "625a", "625b"))
+             .select(*_KEY_COLS, "param_idx", "prop_key", "pred", "datatype", "val"))
+
+    named_625 = (matched
+                 .filter(F.col("prop_key") == "625")
+                 .withColumn("val", coord_named_normalize_udf("val"))
+                 .select(*_KEY_COLS, "param_idx", "prop_key", "pred", "datatype", "val"))
+
+    # 625a/625b pair within one template instance; the save fires at the
+    # later of the two params (:380-382), value always 'lat|lon|0'
+    pairs = (matched
+             .filter(F.col("prop_key").isin("625a", "625b"))
+             .groupBy(*_KEY_COLS)
+             .agg(
+                 F.max(F.when(F.col("prop_key") == "625a", F.col("val"))).alias("lat"),
+                 F.max(F.when(F.col("prop_key") == "625b", F.col("val"))).alias("lon"),
+                 F.max("param_idx").alias("param_idx"),
+             )
+             .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+             .select(*_KEY_COLS, "param_idx",
+                     F.lit("625").alias("prop_key"),
+                     F.lit("P625").alias("pred"),
+                     F.lit("coordinates").alias("datatype"),
+                     F.concat_ws("|", "lat", "lon", F.lit("0")).alias("val")))
+
+    return plain.unionByName(named_625).unionByName(pairs)
+
+
+def map_positional_params(templates: DataFrame, template_map: DataFrame) -> DataFrame:
+    """Positional path: the template maps straight to one property and
+    only the first len>2 parameter is taken (W3)."""
+    pos_map = F.broadcast(template_map.filter(F.col("param_lc").isNull()))
+    matched = templates.join(
+        pos_map,
+        (templates["site"] == pos_map["site"])
+        & (templates["template_lc"] == pos_map["template_lc"]),
+    ).drop(pos_map["site"]).drop(pos_map["template_lc"])
+
+    first = (matched
+             .select(*_KEY_COLS, "prop_key", "pred", "datatype", "params",
+                     F.posexplode("params").alias("param_idx", "param"))
+             .filter(F.length("param") > 2)   # raw, unstripped (:386)
+             .groupBy(*_KEY_COLS, "prop_key", "pred", "datatype")
+             .agg(F.min_by(F.struct("param_idx", "param", "params"),
+                           F.col("param_idx")).alias("w"))
+             .select(*_KEY_COLS, "prop_key", "pred", "datatype",
+                     F.col("w.param_idx").alias("param_idx"),
+                     F.col("w.param").alias("param"),
+                     F.col("w.params").alias("params")))
+
+    return (first
+            .withColumn("val", F.when(F.col("pred") == "P625",
+                                      coord_positional_udf("params"))
+                                .otherwise(F.col("param")))
+            .select(*_OUT_COLS))
+
+
+def map_parameters(templates: DataFrame, template_map: DataFrame,
+                   template_redirects: DataFrame) -> DataFrame:
+    """Full mapping stage: candidate saves in both param styles."""
+    t = resolve_template_names(templates, template_redirects)
+    return map_named_params(t, template_map).unionByName(
+        map_positional_params(t, template_map))

@@ -1,0 +1,79 @@
+"""Parse stage: pages scan -> per-template rows (SURVEY.md §3.2 step 1-2).
+
+Spark shape: repartition by url hash (explicit co-location + skew
+spreading for the downstream joins), Arrow-batched extract/parse UDFs,
+``posexplode`` to template granularity. The html binary column is
+dropped immediately after extraction so it never enters a shuffle
+(SURVEY.md §4 column-pruning note).
+
+Replaces the reference's threaded page fetch + pywikibot parse
+(pywdcollections.py:275-290,344,1041-1044).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.functions.udfs import extract_text_udf, parse_templates_udf
+
+
+def page_identity(pages: DataFrame) -> DataFrame:
+    """Derive (site, title) from url/lang — the reference's decode()
+    (pywdcollections.py:69-70): url tail after '/', percent-decoded,
+    '_' -> ' '. Stays JVM-side (built-in functions only)."""
+    return (pages
+            .withColumn("site", F.concat(F.col("lang"), F.lit("wiki")))
+            .withColumn("title", F.regexp_replace(
+                F.url_decode(F.element_at(F.split(F.col("url"), "/"), -1)),
+                "_", " ")))
+
+
+def extract_and_parse(pages: DataFrame, n_partitions: int | None = None,
+                      use_html: bool = True) -> DataFrame:
+    """pages -> one row per template instance.
+
+    Output: url, warc_ts, site, title, template_idx, tname, params.
+    ``template_idx`` is document order — the last-wins canonicalization
+    key (upsert order, pywdcollections.py:410-411).
+    """
+    df = page_identity(pages)
+    if n_partitions:
+        df = df.repartition(n_partitions, F.xxhash64("url"))
+    if use_html:
+        df = df.withColumn("wikitext", extract_text_udf("html"))
+    else:
+        df = df.withColumn("wikitext", F.col("text"))
+    df = df.drop("html", "text")  # the wide columns stop here
+    return (df
+            .select("url", "warc_ts", "site", "title",
+                    F.posexplode(parse_templates_udf("wikitext"))
+                     .alias("template_idx", "template"))
+            .select("url", "warc_ts", "site", "title", "template_idx",
+                    F.trim(F.lower(F.col("template.name"))).alias("tname"),
+                    F.col("template.params").alias("params")))
+
+
+def text_parity(pages: DataFrame) -> DataFrame:
+    """Per-url extraction parity check (BASELINE.json input_hint):
+    sha256 of extracted text; compared against expected_text fixtures
+    and against the table's own text column."""
+    return (page_identity(pages)
+            .withColumn("wikitext", extract_text_udf("html"))
+            .select(
+                "url",
+                F.sha2(F.encode(F.col("wikitext"), "UTF-8"), 256).alias("extracted_sha256"),
+                (F.col("wikitext") == F.col("text")).alias("matches_text_col"),
+            ))
+
+
+def resolve_subjects(templates: DataFrame, sitelinks: DataFrame,
+                     broadcast_sitelinks: bool = True) -> DataFrame:
+    """J1: pair each page with its entity via (site, title) sitelinks
+    (pywdcollections.py:243,253-267). At fixture scale the dim is
+    broadcast; at 10^12-page scale sitelinks is large — drop the hint
+    and let AQE pick sort-merge with skew splitting."""
+    dim = sitelinks.select("site", "title", "qid")
+    if broadcast_sitelinks:
+        dim = F.broadcast(dim)
+    return templates.join(dim, ["site", "title"], "inner")

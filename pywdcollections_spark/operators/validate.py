@@ -1,0 +1,187 @@
+"""Validation/promotion stage: staged triples -> valid triples + rejects.
+
+Collapses the reference's 12 typed writers
+(pywdcollections.py:1061-1337) into one declarative stage: a broadcast
+dispatch/validator dim join plus per-family predicates, producing
+``valid`` / ``reject_reason`` / ``obj_norm`` columns. Per-family
+check PRECEDENCE mirrors each writer's statement order:
+
+ * item (:1090-1107): constraint check first, then already-present;
+ * image (:1139-1172): extension, already-present, cross-property
+   duplicate (J7), empty-title;
+ * everything else: already-present, then format rules.
+
+The already-present gate is the copy-eligibility predicate F4
+(``w.P<p> IS NULL``, :482) plus each writer's claims check. Dates,
+sounds and any unlisted property fall through write_prop's dispatch
+(:1084-1085) -> 'writer_not_implemented' (staged but never promoted).
+
+File-page existence (:1164) and Commons-category redirects (:966-967)
+are external-service lookups the reference makes per row; here the
+Commons category check is a dim join and file existence is assumed
+(documented deviation — fixtures model categories, not files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywdcollections_spark import registry
+from pywdcollections_spark.functions.udfs import coord_parse_udf, url_normalize_udf
+
+_SPECIFIC_WRITERS = {281, 373, 625, 856, 1047, 1866, 6788, 8389}
+_INT_RE = r"^\s*[+-]?[0-9]+\s*$"  # Python int() acceptance (:1182-1185)
+
+KEY = ["subj", "pred", "source"]
+
+
+def dispatch_rows() -> list[dict]:
+    """write_prop's dispatch order (:1061-1085): list membership first,
+    then the specific-id writers."""
+    rows = {}
+    for pid in registry.ITEM_PROPS:
+        rows[pid] = "item"
+    for pid in registry.INTEGER_PROPS:
+        rows.setdefault(pid, "integer")
+    for pid in registry.IMAGE_PROPS:
+        rows.setdefault(pid, "image")
+    for pid in _SPECIFIC_WRITERS:
+        rows.setdefault(pid, f"p{pid}")
+    out = []
+    for pid, family in rows.items():
+        spec = registry.PROP_SPECS.get(pid)
+        out.append({
+            "pred": f"P{pid}",
+            "family": family,
+            "constraints": [int(c) for c in (spec.constraints if spec else ())],
+            "min_len": spec.min_len if spec else None,
+            "max_len": spec.max_len if spec else None,
+            "exact_len": spec.exact_len if spec else None,
+        })
+    return out
+
+
+def melt_entity_claims(entities_seed: DataFrame) -> DataFrame:
+    """Wide entity table -> long (qid, pred, existing_val) for the
+    NULL-gated anti-join patterns (F4/F9/J7)."""
+    pcols = [c for c in entities_seed.columns if c.startswith("P")]
+    stack = ", ".join(f"'{c}', {c}" for c in pcols)
+    return (entities_seed
+            .select("qid", F.expr(f"stack({len(pcols)}, {stack}) as (pred, existing_val)"))
+            .filter(F.col("existing_val").isNotNull()))
+
+
+def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFrame,
+             target_p31: DataFrame, class_p279: DataFrame,
+             commons_categories: DataFrame) -> DataFrame:
+    """-> staged columns + family, valid, reject_reason, obj_norm."""
+    b = F.broadcast
+    disp = b(spark.createDataFrame(
+        dispatch_rows(),
+        "pred string, family string, constraints array<long>, "
+        "min_len int, max_len int, exact_len int"))
+
+    df = staged.join(disp, "pred", "left")
+
+    existing = melt_entity_claims(entities_seed)
+    # already-present for the triple's own pred (claims check + F4)
+    own = b(existing.select(F.col("qid").alias("e_qid"), F.col("pred").alias("e_pred"))
+            .withColumn("already", F.lit(True)))
+    df = (df.join(own, (df["subj"] == own["e_qid"]) & (df["pred"] == own["e_pred"]), "left")
+            .drop("e_qid", "e_pred")
+            .withColumn("already", F.coalesce("already", F.lit(False))))
+
+    # J7: identical image title under ANY image property (:1151-1157)
+    image_preds = [f"P{p}" for p in registry.IMAGE_PROPS]
+    img_existing = b(existing.filter(F.col("pred").isin(image_preds))
+                     .select(F.col("qid").alias("i_qid"),
+                             F.col("existing_val").alias("i_val"))
+                     .distinct().withColumn("img_dup", F.lit(True)))
+    df = (df.join(img_existing, (df["subj"] == img_existing["i_qid"])
+                  & (df["obj_raw"] == img_existing["i_val"]), "left")
+            .drop("i_qid", "i_val")
+            .withColumn("img_dup", F.coalesce("img_dup", F.lit(False))))
+
+    # item-family strict constraint check (:1092 -> :1017-1039)
+    it = b(items.select(F.col("qid").alias("t_qid")).withColumn("t_exists", F.lit(True)))
+    df = df.join(it, df["obj_raw"] == it["t_qid"], "left").drop("t_qid") \
+           .withColumn("t_exists", F.coalesce("t_exists", F.lit(False)))
+    p31aug = b(target_p31
+               .join(class_p279, target_p31["p31"] == class_p279["class_qid"], "left")
+               .select(F.col("qid").alias("c_qid"), "p31",
+                       F.col("super_qid").alias("p279")))
+    hop = (df.filter(F.col("family") == "item")
+             .select(*KEY, "obj_raw", "constraints")
+             .join(p31aug, F.col("obj_raw") == p31aug["c_qid"], "left")
+             .withColumn("hp", F.coalesce(F.array_contains("constraints", F.col("p31")), F.lit(False))
+                         | F.coalesce(F.array_contains("constraints", F.col("p279")), F.lit(False)))
+             .groupBy(*KEY).agg(F.max("hp").alias("hop_pass")))
+    df = df.join(hop, KEY, "left").withColumn("hop_pass", F.coalesce("hop_pass", F.lit(False)))
+
+    # image/category title cleanup (:1158, :1212) — chained replaces
+    clean_img = F.regexp_replace(F.trim(F.regexp_replace(
+        F.regexp_replace("obj_raw", r"File:", ""), r"file:", "")), r"::", ":")
+    clean_cat_s1 = F.trim(F.regexp_replace(F.regexp_replace("obj_raw", r"Category:", ""), r"category:", ""))
+    clean_cat = F.translate(F.regexp_replace(clean_cat_s1, r"::", ":"), "{}[]", "")
+
+    df = df.withColumn("clean_img", clean_img).withColumn("clean_cat", clean_cat)
+    cats = b(commons_categories.select(F.col("title").alias("cat_title"))
+             .distinct().withColumn("cat_exists", F.lit(True)))
+    df = df.join(cats, df["clean_cat"] == cats["cat_title"], "left").drop("cat_title") \
+           .withColumn("cat_exists", F.coalesce("cat_exists", F.lit(False)))
+
+    df = (df
+          .withColumn("coord", F.when(F.col("family") == "p625", coord_parse_udf("obj_raw")))
+          .withColumn("url_norm", F.when(F.col("family") == "p856", url_normalize_udf("obj_raw"))))
+
+    # image extension predicate (:1141-1144)
+    t_ = F.lower("obj_raw")
+    ext_ok = (t_.rlike(r"(jpg|jpeg)$")
+              | (F.col("pred").isin("P94", "P3311") & t_.rlike(r"(svg|png)$")
+                 & ~t_.contains("template") & ~t_.contains("coa ") & ~t_.contains("coa.")))
+
+    length_ok = ((F.col("exact_len").isNull() | (F.length("obj_raw") == F.col("exact_len")))
+                 & (F.col("min_len").isNull() | (F.length("obj_raw") >= F.col("min_len")))
+                 & (F.col("max_len").isNull() | (F.length("obj_raw") <= F.col("max_len"))))
+
+    fam = F.col("family")
+    constraint_ok = F.col("t_exists") & ((F.size("constraints") == 0) | F.col("hop_pass"))
+
+    reason = (
+        F.when(fam.isNull(), "writer_not_implemented")
+        # item: constraints first (:1092-1095), then already (:1099)
+        .when((fam == "item") & ~constraint_ok, "constraint_failed")
+        .when((fam == "item") & F.col("already"), "already_present")
+        # image: ext (:1141), already (:1148), J7 (:1151), empty (:1159)
+        .when((fam == "image") & ~ext_ok, "bad_extension")
+        .when((fam == "image") & F.col("already"), "already_present")
+        .when((fam == "image") & F.col("img_dup"), "image_duplicate")
+        .when((fam == "image") & (F.col("clean_img") == ""), "empty_title")
+        # remaining writers: already-present first, then format
+        .when(fam.isin("integer", "p281", "p373", "p625", "p856",
+                       "p1047", "p1866", "p6788", "p8389") & F.col("already"),
+              "already_present")
+        .when((fam == "integer") & ~F.col("obj_raw").rlike(_INT_RE), "bad_integer")
+        .when(fam.isin("p281", "p1047", "p1866", "p6788", "p8389") & ~length_ok,
+              "bad_length")
+        .when((fam == "p373") & (F.col("clean_cat") == ""), "empty_title")
+        .when((fam == "p373") & ~F.col("cat_exists"), "category_missing")
+        .when((fam == "p625") & F.col("coord.norm").isNull(), "bad_coordinates")
+        .when((fam == "p856") & F.col("url_norm").isNull(), "bad_url")
+    )
+
+    obj_norm = (
+        F.when(fam == "image", F.col("clean_img"))
+         .when(fam == "p373", F.col("clean_cat"))
+         .when(fam == "p625", F.col("coord.norm"))
+         .when(fam == "p856", F.col("url_norm"))
+         .otherwise(F.col("obj_raw"))
+    )
+
+    return (df
+            .withColumn("reject_reason", reason)
+            .withColumn("valid", F.col("reject_reason").isNull())
+            .withColumn("obj_norm", F.when(F.col("reject_reason").isNull(), obj_norm))
+            .select("subj", "pred", "obj_raw", "obj_norm", "datatype", "source",
+                    "url", "warc_ts", "family", "valid", "reject_reason"))

@@ -1,0 +1,88 @@
+"""End-to-end KG-construction pipeline (SURVEY.md §3.2 flagship job).
+
+pages scan -> repartition(url-hash) -> extract_text -> parse_templates
+-> explode -> subject join (J1) -> template_map broadcast join ->
+coercions -> entity linking (J4/J5/J6) -> salted last-wins
+canonicalization (A5) -> validation (§2.8) -> triples + lineage.
+
+One linear declarative plan; Catalyst handles pushdown/pruning, AQE
+handles runtime coalescing and join skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.config import CollectionConfig
+from pywdcollections_spark.operators import canonicalize as C
+from pywdcollections_spark.operators import linking as L
+from pywdcollections_spark.operators import mapping as M
+from pywdcollections_spark.operators import parse as P
+from pywdcollections_spark.operators import validate as V
+from pywdcollections_spark.registry import PROP_SPECS
+
+
+def prop_constraints_df(spark: SparkSession) -> DataFrame:
+    rows = [{"pred": f"P{s.pid}", "constraints": [int(c) for c in s.constraints]}
+            for s in PROP_SPECS.values()]
+    return spark.createDataFrame(rows, "pred string, constraints array<long>")
+
+
+def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
+            dims: dict[str, DataFrame], n_partitions: int | None = None,
+            use_html: bool = True, salt_buckets: int = 16) -> DataFrame:
+    """pages -> staged triples (the `harvested` staging analogue)."""
+    template_map = spark.createDataFrame(
+        config.template_map_rows(),
+        "site string, template_lc string, param_lc string, "
+        "prop_key string, pred string, datatype string")
+
+    templates = P.extract_and_parse(pages, n_partitions=n_partitions, use_html=use_html)
+    templates = P.resolve_subjects(templates, dims["sitelinks"])
+    cands = M.map_parameters(templates, template_map, dims["template_redirects"])
+    cands = L.link_entity_values(
+        cands, dims["sitelinks"], dims["redirects"],
+        dims["target_p31"], dims["class_p279"], prop_constraints_df(spark))
+    return C.canonicalize(cands, salt_buckets=salt_buckets)
+
+
+def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
+             dims: dict[str, DataFrame], n_partitions: int | None = None,
+             use_html: bool = True) -> dict[str, DataFrame]:
+    """Full pipeline. Returns staged, validated, triples (valid only),
+    rejects, and the per-partition lineage/metrics table."""
+    staged = harvest(spark, pages, config, dims,
+                     n_partitions=n_partitions, use_html=use_html)
+    validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
+                           dims["target_p31"], dims["class_p279"],
+                           dims["commons_categories"])
+    src = F.broadcast(dims["sources"].select(F.col("site").alias("source"), "site_qid"))
+    triples = (validated.filter("valid")
+               .join(src, "source", "left")   # provenance P143 analogue (:993-1009)
+               .select("subj", "pred", "obj_norm", "obj_raw", "datatype",
+                       "source", "site_qid", "url", "warc_ts"))
+    rejects = validated.filter(~F.col("valid")) \
+                       .select("subj", "pred", "obj_raw", "source", "url", "reject_reason")
+    return {
+        "staged": staged,
+        "validated": validated,
+        "triples": triples,
+        "rejects": rejects,
+        "lineage": lineage(pages, validated),
+    }
+
+
+def lineage(pages: DataFrame, validated: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Per url-hash-bucket lineage/metrics rows — the checkpoint-resume
+    unit required by the north rule (replaces the reference's
+    last_harvested/errors watermark columns, pywdcollections.py:397)."""
+    bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(n_buckets)).alias("bucket")
+    pg = pages.groupBy(bucket(F.col("url"))).agg(F.count("*").alias("n_pages"))
+    tr = (validated.groupBy(bucket(F.col("url")))
+          .agg(F.count("*").alias("n_staged"),
+               F.sum(F.col("valid").cast("long")).alias("n_triples"),
+               F.sum((~F.col("valid")).cast("long")).alias("n_rejects")))
+    return (pg.join(tr, "bucket", "left")
+            .fillna(0, ["n_staged", "n_triples", "n_rejects"])
+            .withColumn("completed_at", F.current_timestamp()))

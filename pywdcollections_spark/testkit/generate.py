@@ -1,0 +1,479 @@
+"""Deterministic fixture generator — inputs AND golden outputs from one seed.
+
+Emits the synthetic web-pages table (FIXTURES.md §1: url, warc_ts,
+html, text, lang), the broadcast dimension tables (§2), and the golden
+expected tables (§3). Generator and engine share NO extraction code:
+the generator *renders* wikitext from per-page specs and computes
+expected triples directly from the spec fields by applying the
+reference's rules (pywdcollections.py:332-405 harvest semantics,
+:1061-1337 validation semantics) — it never parses what it rendered.
+
+All randomness derives from ``random.Random(f"{seed}:{page_id}")`` so
+any page is reproducible in isolation — which lets page generation run
+distributed (mapInPandas over spark.range) for the bench-scale table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from datetime import datetime, timedelta
+
+# ---------------------------------------------------------------- universe
+
+LANG_SITES = [("en", "enwiki"), ("fr", "frwiki"), ("de", "dewiki")]
+LANG_WEIGHTS = [0.7, 0.2, 0.1]
+
+PLACE_QID_BASE = 500_000
+COUNTRY_QID_BASE = 600_000
+ENTITY_QID_BASE = 1_000
+
+# class ids used for P31 of link targets (P131 constraints are
+# [515, 532, 1549591, 56061, 15284]; P17 constraints [3624078, 6256])
+CLS_CITY = 515          # passes P131 directly
+CLS_TOWN = 3957         # passes P131 one-hop via P279 3957->515
+CLS_BUILDING = 41176    # fails P131
+CLS_COUNTRY = 6256      # passes P17 directly
+CLS_FAKELAND = 12345678  # fails P17
+CLASS_P279 = [
+    {"class_qid": CLS_TOWN, "super_qid": CLS_CITY},
+    {"class_qid": CLS_BUILDING, "super_qid": 811979},
+    {"class_qid": CLS_FAKELAND, "super_qid": 98765432},
+]
+
+EPOCH = datetime(2026, 1, 1)
+
+
+def n_places(n_pages: int) -> int:
+    return max(20, n_pages // 50)
+
+
+def n_countries() -> int:
+    return 5
+
+
+def place_qid(j: int) -> str:
+    return f"Q{PLACE_QID_BASE + j}"
+
+
+def place_p31(j: int) -> int:
+    if j % 5 == 0:
+        return CLS_BUILDING
+    if j % 5 == 1:
+        return CLS_TOWN
+    return CLS_CITY
+
+
+def place_passes_p131(j: int) -> bool:
+    return place_p31(j) in (CLS_CITY, CLS_TOWN)
+
+
+def country_qid(c: int) -> str:
+    return f"Q{COUNTRY_QID_BASE + c}"
+
+
+def country_p31(c: int) -> int:
+    return CLS_FAKELAND if c == 4 else CLS_COUNTRY
+
+
+def entity_qid(i: int) -> str:
+    return f"Q{ENTITY_QID_BASE + i}"
+
+
+def page_title(i: int, lang: str) -> str:
+    base = {"en": "Cemetery", "fr": "Cimetière", "de": "Friedhof"}[lang]
+    return f"{base} {i}"
+
+
+def page_lang(seed: int, i: int) -> str:
+    if i == 0:
+        return "en"  # head-statement page is pinned to enwiki
+    r = random.Random(f"{seed}:lang:{i}").random()
+    return "en" if r < 0.7 else ("fr" if r < 0.9 else "de")
+
+
+def forced_dup_image(seed: int, i: int) -> bool:
+    """Pages whose candidate P18 title deterministically collides with
+    an existing P154 claim (cross-property image dedup, J7)."""
+    return i % 37 == 0 and i > 0 and page_lang(seed, i) == "en"
+
+
+# ---------------------------------------------------------------- page specs
+
+def _link_case(rng: random.Random, n_pl: int, head_bias: float = 0.2):
+    """Pick a location-param rendering + its expected link resolution.
+
+    Returns (rendered_value, expected_qid_or_None). Mirrors
+    find_items_in_value semantics (pywdcollections.py:203-224): first
+    constraint-passing mention wins; else exactly-one-resolved wins
+    (even constraint-failing — reference quirk); else None.
+    """
+    j = 0 if rng.random() < head_bias else rng.randrange(n_pl)  # head-entity skew
+    title = f"Place {j}"
+    case = rng.random()
+    if case < 0.40:  # plain existing link
+        val = f"[[{title}]]"
+        exp = place_qid(j)
+    elif case < 0.55:  # redirect form
+        val = f"[[Old {title}]]"
+        exp = place_qid(j)
+    elif case < 0.65:  # nonexistent page -> no resolution
+        val = f"[[Ghost {j}]]"
+        exp = None
+    elif case < 0.75:  # namespace link skipped + real link
+        val = f"[[File:pic{j}.jpg]] and [[{title}]]"
+        exp = place_qid(j)
+    elif case < 0.85:  # two links: first passing wins / ambiguity
+        k = rng.randrange(n_pl)
+        val = f"[[{title}]], [[Place {k}]]"
+        if place_passes_p131(j):
+            exp = place_qid(j)
+        elif place_passes_p131(k):
+            exp = place_qid(k)
+        else:
+            exp = None  # two resolved failing mentions -> len!=1 -> None
+    elif case < 0.93:  # multiline value (DOTALL wikilink)
+        val = f"[[{title[:5]}\n{title[5:]}]]"
+        exp = None  # the split title does not exist
+        if rng.random() < 0.5:
+            val += f" [[{title}]]"
+            exp = place_qid(j)
+    else:  # failing-constraints single mention -> harvested anyway (quirk)
+        jj = (j // 5) * 5  # a building (fails P131)
+        val = f"[[Place {jj}]]"
+        exp = place_qid(jj)
+    return val, exp
+
+
+def _coord_case(rng: random.Random):
+    """Named-625 value + its normalized pipe string
+    (pywdcollections.py:374-379)."""
+    lat = round(rng.uniform(-89, 89), 4)
+    lon = round(rng.uniform(-179, 179), 4)
+    if rng.random() < 0.5:
+        val = f"{lat}/{lon}"
+        exp = f"{lat}|{lon}|0"
+    else:
+        d, m, s = rng.randrange(0, 89), rng.randrange(0, 60), rng.randrange(0, 60)
+        d2, m2, s2 = rng.randrange(0, 179), rng.randrange(0, 60), rng.randrange(0, 60)
+        val = f"{d}°{m}′{s}″N {d2}°{m2}′{s2}″E"
+        exp = f"{d}/{m}/{s}/N|{d2}/{m2}/{s2}/E|0"
+    return val, exp
+
+
+def page_spec(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dict:
+    """Build the full spec for page i: what to render and what the
+    reference harvester would stage for it."""
+    rng = random.Random(f"{seed}:{i}")
+    lang = page_lang(seed, i)
+    site = f"{lang}wiki"
+    title = page_title(i, lang)
+    qid = entity_qid(i)
+    n_pl = n_places(n_pages)
+
+    templates: list[dict] = []  # {'render': str, 'saves': [(pred, obj_raw)]}
+
+    if i == 0:
+        # head-statement subject: 10^4x-median template count at bench
+        # scale (exercises the salted canonicalization groupBy)
+        for t in range(head_templates):
+            templates.append({
+                "render": "{{Commonscat|Head category %d|Display}}" % t,
+                "saves": [("P373", f"Head category {t}")],
+            })
+    else:
+        if site in ("enwiki", "dewiki") and rng.random() < 0.5:  # Commonscat positional
+            r = rng.random()
+            if r < 0.75:
+                cat = f"Category of {title}"
+                templates.append({
+                    "render": "{{Commonscat|%s|%s}}" % (cat, title),
+                    # first len>2 param wins (pywdcollections.py:386-393)
+                    "saves": [("P373", cat)],
+                })
+            elif r < 0.9:
+                # first param too short -> SECOND param harvested
+                templates.append({
+                    "render": "{{Commonscat|ab|%s}}" % title,
+                    "saves": [("P373", title)],
+                })
+            else:
+                # name-case variant + redirect alias still match
+                alias = "Commons category" if rng.random() < 0.5 else "commonsCAT"
+                cat = f"Category of {title}"
+                templates.append({
+                    "render": "{{%s|%s}}" % (alias, cat),
+                    "saves": [("P373", cat)],
+                })
+
+        if rng.random() < 0.7 and site == "enwiki":  # Infobox cemetery
+            params: list[str] = []
+            saves: list[tuple] = []
+            if forced_dup_image(seed, i):
+                # deterministic J7 collision with entities_seed P154
+                img = f"{title} photo.jpg"
+                params.append(f"image={img}")
+                saves.append(("P18", img))
+            elif rng.random() < 0.6:
+                ext = rng.choice(["jpg", "jpeg", "png", "svg", "tif"])
+                img = f"{title} photo.{ext}"
+                if rng.random() < 0.1:
+                    img = f"File:{img}"
+                params.append(f"image={img}")
+                saves.append(("P18", img))
+            if rng.random() < 0.6:
+                val, exp = _link_case(rng, n_pl)
+                params.append(f"location={val}")
+                if exp:
+                    saves.append(("P131", exp))
+            if rng.random() < 0.3:
+                c = rng.randrange(n_countries())
+                params.append(f"country=[[Country {c}]]")
+                saves.append(("P17", country_qid(c)))
+            coord_mode = rng.random()
+            if coord_mode < 0.3:
+                val, exp = _coord_case(rng)
+                params.append(f"coordinates={val}")
+                saves.append(("P625", exp))
+            elif coord_mode < 0.5:
+                lat = round(rng.uniform(-89, 89), 4)
+                lon = round(rng.uniform(-179, 179), 4)
+                params.append(f"lat={lat}")
+                params.append(f"lon={lon}")
+                # 625a/625b pair into one P625 (pywdcollections.py:370-382)
+                saves.append(("P625", f"{lat}|{lon}|0"))
+            elif coord_mode < 0.55:
+                lat = round(rng.uniform(-89, 89), 4)
+                params.append(f"lat={lat}")  # unpaired -> nothing staged
+            if rng.random() < 0.4:
+                w = rng.random()
+                if w < 0.4:
+                    url = f"https://example.org/cem/{i}"
+                elif w < 0.6:
+                    url = f"www.example{i}.org/home"
+                elif w < 0.8:
+                    # nested template value: pipes survive because they sit
+                    # inside {{...}} (top-level param split skips them)
+                    url = "{{URL|https://example.net/%d}}" % i
+                else:
+                    url = f"bad{i}"  # harvested (len>2) but fails URL validation
+                params.append(f"website={url}")
+                saves.append(("P856", url))
+            if rng.random() < 0.4:
+                yr = 1700 + rng.randrange(300)
+                params.append(f"established={yr}")
+                saves.append(("P571", str(yr)))  # date: staged, never promoted
+            if rng.random() < 0.3:
+                zipc = "".join(rng.choice("0123456789") for _ in range(5))
+                params.append(f"postal_code={zipc}")
+                saves.append(("P281", zipc))
+            if rng.random() < 0.3:
+                g = rng.randrange(100, 99999)
+                if rng.random() < 0.15:
+                    params.append(f"graves=about {g}")  # int-parse fails at validation
+                    saves.append(("P2971", f"about {g}"))
+                else:
+                    params.append(f"graves={g}")
+                    saves.append(("P2971", str(g)))
+            if rng.random() < 0.2:
+                d = "".join(rng.choice("abcd") for _ in range(rng.choice([3, 4, 5])))
+                params.append(f"diocese_id={d}")
+                saves.append(("P1866", d))
+            # negative cases: '=' in value (skipped :359-361), short value
+            # (:364), unknown param, {{PAGENAME}} no-op (:356)
+            if rng.random() < 0.3:
+                params.append("motto=a=b")
+            if rng.random() < 0.3:
+                params.append("image=ab")  # len<=2 -> skipped; does NOT override
+                # NB: appended after a real image= param it would override
+                # in MediaWiki, but the reference processes params
+                # independently and skips this one, so order is moot.
+            if rng.random() < 0.2:
+                params.append("note={{PAGENAME}} memorial")
+            if rng.random() < 0.2:
+                params.append("style={{small|ornate}} fence")  # nested template distractor
+            rng.shuffle(params)
+            templates.append({
+                "render": "{{Infobox cemetery|" + "|".join(params) + "}}",
+                "saves": saves,
+            })
+
+        if site == "frwiki" and rng.random() < 0.6:
+            cat = f"Catégorie de {title}"
+            templates.append({
+                "render": "{{Autres projets|commons=%s}}" % cat,
+                "saves": [("P373", cat)],
+            })
+
+        if site == "enwiki" and rng.random() < 0.2:  # positional Location
+            if rng.random() < 0.6:
+                d, m, s = rng.randrange(89), rng.randrange(60), rng.randrange(60)
+                d2, m2, s2 = rng.randrange(179), rng.randrange(60), rng.randrange(60)
+                fields = [str(d), str(m), str(s), "N", str(d2), str(m2), str(s2), "E"]
+            else:
+                lat = round(rng.uniform(-89, 89), 3)
+                lon = round(rng.uniform(-179, 179), 3)
+                fields = [str(lat), str(lon)]
+            render = "{{Location|%s}}" % "|".join(fields)
+            # the save fires only at a len>2 param (pywdcollections.py:386);
+            # when it fires the value is the literal '%s|%s|0' —
+            # missing-interpolation defect mirrored (:390)
+            saves = [("P625", "%s|%s|0")] if any(len(f) > 2 for f in fields) else []
+            templates.append({"render": render, "saves": saves})
+
+    rng.shuffle(templates)
+    return {
+        "page_id": i,
+        "qid": qid,
+        "lang": lang,
+        "site": site,
+        "title": title,
+        "url": f"https://{lang}.fixture.wiki/wiki/" + title.replace(" ", "_"),
+        "warc_ts": EPOCH + timedelta(seconds=(i * 137) % 31_000_000),
+        "templates": templates,
+    }
+
+
+# ---------------------------------------------------------------- rendering
+
+_PROSE = (
+    "The old grounds lie beyond the ridge } and a stray {{ brace field. "
+    "Visitors described the gates, [[iron fence]] rows and long paths.\n"
+)
+
+
+def render_wikitext(spec: dict) -> str:
+    rng = random.Random(f"render:{spec['page_id']}")
+    chunks = []
+    for t in spec["templates"]:
+        if rng.random() < 0.5:
+            chunks.append(_PROSE)
+        chunks.append(t["render"])
+        chunks.append("\n")
+    chunks.append(_PROSE)
+    return "".join(chunks)
+
+
+def render_html(title: str, text: str) -> bytes:
+    """Wrap wikitext in the fixture html shape. The escape chain here is
+    the generator-side spec; the engine's extract_text implements the
+    inverse independently."""
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+                 .replace('"', "&quot;").replace("'", "&#39;"))
+    return ("<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>"
+            + esc(title) + "</title></head><body><main><pre class=\"wikitext\">"
+            + esc(text) + "</pre></main><footer>fixture</footer></body></html>"
+            ).encode("utf-8")
+
+
+def page_row(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dict:
+    spec = page_spec(seed, i, n_pages, head_templates)
+    text = render_wikitext(spec)
+    return {
+        "url": spec["url"],
+        "warc_ts": spec["warc_ts"],
+        "html": render_html(spec["title"], text),
+        "text": text,
+        "lang": spec["lang"],
+    }
+
+
+# ---------------------------------------------------------------- goldens
+
+def expected_harvested_rows(seed: int, i: int, n_pages: int,
+                            head_templates: int = 200) -> list[dict]:
+    """Staged triples for page i after last-wins upserts keyed
+    (subj, source, pred) (pywdcollections.py:407-411: repeated saves
+    within one page overwrite)."""
+    spec = page_spec(seed, i, n_pages, head_templates)
+    staged: dict[str, str] = {}
+    for t in spec["templates"]:
+        for pred, obj in t["saves"]:
+            staged[pred] = obj
+    return [{
+        "subj": spec["qid"],
+        "pred": pred,
+        "obj_raw": obj,
+        "source": spec["site"],
+        "url": spec["url"],
+    } for pred, obj in staged.items()]
+
+
+def expected_text_rows(seed: int, i: int, n_pages: int,
+                       head_templates: int = 200) -> dict:
+    spec = page_spec(seed, i, n_pages, head_templates)
+    text = render_wikitext(spec)
+    return {"url": spec["url"],
+            "text_sha256": hashlib.sha256(text.encode("utf-8")).hexdigest()}
+
+
+# ---------------------------------------------------------------- dim tables
+
+def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
+    """All broadcast dimension tables (FIXTURES.md §2)."""
+    n_pl = n_places(n_pages)
+    sitelinks, redirects, p31, items = [], [], [], []
+    for j in range(n_pl):
+        for _, site in LANG_SITES:
+            sitelinks.append({"site": site, "title": f"Place {j}", "qid": place_qid(j)})
+            redirects.append({"site": site, "from_title": f"Old Place {j}",
+                              "to_title": f"Place {j}"})
+        p31.append({"qid": place_qid(j), "p31": place_p31(j)})
+        items.append({"qid": place_qid(j)})
+    for c in range(n_countries()):
+        for _, site in LANG_SITES:
+            sitelinks.append({"site": site, "title": f"Country {c}", "qid": country_qid(c)})
+        p31.append({"qid": country_qid(c), "p31": country_p31(c)})
+        items.append({"qid": country_qid(c)})
+
+    # the harvested pages themselves are sitelinked entities (J1 join)
+    for i in range(n_pages):
+        lang = page_lang(seed, i)
+        sitelinks.append({"site": f"{lang}wiki", "title": page_title(i, lang),
+                          "qid": entity_qid(i)})
+        items.append({"qid": entity_qid(i)})
+
+    template_redirects = []
+    for _, site in LANG_SITES:
+        template_redirects.append({"site": site, "alias_lc": "commons category",
+                                   "canonical_lc": "commonscat"})
+
+    entities_seed = []
+    for i in range(n_pages):
+        rng = random.Random(f"{seed}:seed_entity:{i}")
+        row = {"qid": entity_qid(i), "last_modified": EPOCH,
+               "P17": None, "P18": None, "P131": None, "P154": None,
+               "P281": None, "P373": None, "P571": None, "P625": None,
+               "P856": None, "P1866": None, "P2971": None}
+        if rng.random() < 0.3:
+            row["P373"] = f"Existing category {i}"
+        if rng.random() < 0.2:
+            row["P18"] = f"Existing {i}.jpg"
+        if forced_dup_image(seed, i):
+            # cross-property image dedup case (pywdcollections.py:1151-1157):
+            # the page's own candidate image title already sits under P154
+            row["P154"] = f"{page_title(i, page_lang(seed, i))} photo.jpg"
+        entities_seed.append(row)
+
+    commons_categories = []
+    for i in range(n_pages):
+        lang = page_lang(seed, i)
+        t = page_title(i, lang)
+        for name in (f"Category of {t}", f"Catégorie de {t}", t):
+            commons_categories.append({"title": name})
+    for t in range(2000):
+        commons_categories.append({"title": f"Head category {t}"})
+
+    from pywdcollections_spark.registry import source_rows
+    return {
+        "sitelinks": sitelinks,
+        "redirects": redirects,
+        "template_redirects": template_redirects,
+        "target_p31": p31,
+        "class_p279": list(CLASS_P279),
+        "items": items,
+        "entities_seed": entities_seed,
+        "commons_categories": commons_categories,
+        "sources": source_rows(),
+    }

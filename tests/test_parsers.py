@@ -1,0 +1,146 @@
+"""Unit tests for the pure parsing/coercion functions (SURVEY.md §5.3)."""
+
+from pywdcollections_spark.functions.coerce import (
+    clean_category_title,
+    find_wikilink_mentions,
+    image_extension_ok,
+    integer_ok,
+    normalize_named_coordinate,
+    normalize_url,
+    parse_coordinate_value,
+    positional_coordinates,
+    string_length_ok,
+)
+from pywdcollections_spark.functions.text_extract import extract_text
+from pywdcollections_spark.functions.wikitemplates import parse_templates
+
+
+class TestTokenizer:
+    def test_simple_positional(self):
+        [t] = parse_templates("{{Commonscat|Foo bar|Display}}")
+        assert t["name"] == "Commonscat"
+        assert t["params"] == ["Foo bar", "Display"]
+
+    def test_named_params(self):
+        [t] = parse_templates("{{Infobox cemetery|image=Foo.jpg|location=[[X]]}}")
+        assert t["params"] == ["image=Foo.jpg", "location=[[X]]"]
+
+    def test_nested_template_both_emitted(self):
+        ts = parse_templates("{{a|x={{b|1}}}}")
+        names = sorted(t["name"] for t in ts)
+        assert names == ["a", "b"]
+        outer = next(t for t in ts if t["name"] == "a")
+        assert outer["params"] == ["x={{b|1}}"]
+
+    def test_pipe_inside_wikilink_does_not_split(self):
+        [t] = parse_templates("{{T|link=[[a|b]]}}")
+        assert t["params"] == ["link=[[a|b]]"]
+
+    def test_stray_braces_ignored(self):
+        ts = parse_templates("foo {{ bar } baz {{Commonscat|X y z}} tail")
+        assert [t["name"] for t in ts] == ["Commonscat"]
+
+    def test_parser_function_skipped(self):
+        assert parse_templates("{{#if:x|y}}") == []
+        assert parse_templates("{{DISPLAYTITLE:x}}") == []
+
+    def test_positional_before_named_ordering(self):
+        # mirrors pywikibot templatesWithParams ordering
+        [t] = parse_templates("{{T|name=x|posval}}")
+        assert t["params"] == ["posval", "name=x"]
+
+    def test_multiline_param(self):
+        [t] = parse_templates("{{T|a=line1\nline2}}")
+        assert t["params"] == ["a=line1\nline2"]
+
+    def test_empty_text(self):
+        assert parse_templates(None) == []
+        assert parse_templates("") == []
+
+
+class TestTextExtract:
+    def test_round_trip_with_entities(self):
+        text = 'braces {{T|a=1&b<c>"d"\'e\'}} & [[link]] &amp; tail'
+
+        def esc(s):
+            return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+                     .replace('"', "&quot;").replace("'", "&#39;"))
+        html = ('<html><body><pre class="wikitext">' + esc(text) + "</pre></body></html>").encode()
+        assert extract_text(html) == text
+
+    def test_missing_payload(self):
+        assert extract_text(b"<html><body>nope</body></html>") is None
+        assert extract_text(None) is None
+
+
+class TestWikilinks:
+    def test_dotall_and_namespace_skip(self):
+        # pywdcollections.py:204-209: non-greedy DOTALL; ':' targets skipped
+        val = "[[File:x.jpg]] see [[Place\nOne]] and [[Two]]"
+        assert find_wikilink_mentions(val) == ["Place\nOne", "Two"]
+
+    def test_duplicates_kept(self):
+        assert find_wikilink_mentions("[[A]][[A]]") == ["A", "A"]
+
+
+class TestCoordinates:
+    def test_named_decimal(self):
+        assert normalize_named_coordinate("48.85/2.35") == "48.85|2.35|0"
+
+    def test_named_dms_unicode(self):
+        assert (normalize_named_coordinate("48°51′24″N 2°21′3″E")
+                == "48/51/24/N|2/21/3/E|0")
+
+    def test_positional_8_field(self):
+        lat, lon = positional_coordinates(["48", "51", "24", "N", "2", "21", "3", "E"])
+        assert (lat, lon) == ("48/51/24/N", "2/21/3/E")
+
+    def test_positional_decimal(self):
+        assert positional_coordinates(["48.85", "2.35"]) == ("48.85", "2.35")
+        assert positional_coordinates(["48.85"]) == (None, None)
+
+    def test_parse_decimal_fast_path(self):
+        assert parse_coordinate_value("48.85|2.35|0") == (48.85, 2.35)
+        assert parse_coordinate_value("48.85N|2.35E|0") == (48.85, 2.35)
+
+    def test_parse_dms_bankers_rounding(self):
+        # round(48 + 51/60 + 24/3600, 5) — Python round semantics (:1246)
+        got = parse_coordinate_value("48/51/24/N|2/21/3/W|0")
+        assert got == (round(48 + 51 / 60 + 24 / 3600, 5),
+                       -round(2 + 21 / 60 + 3 / 3600, 5))
+
+    def test_parse_rejects(self):
+        assert parse_coordinate_value("%s|%s|0") is None   # reference defect value
+        assert parse_coordinate_value("1|2") is None
+        assert parse_coordinate_value("a/b/c/X|1/2/3/E|0") is None
+
+
+class TestValidators:
+    def test_url(self):
+        assert normalize_url("https://example.org/x") == "https://example.org/x"
+        assert normalize_url("www.example.org/x") == "http://www.example.org/x"
+        assert normalize_url("url|https://example.net/1|name") == "https://example.net/1"
+        assert normalize_url("bad7") is None
+        assert normalize_url("http://a") is None  # len < 10
+
+    def test_image_ext(self):
+        assert image_extension_ok(18, "a.jpg")
+        assert image_extension_ok(18, "a.JPEG")
+        assert not image_extension_ok(18, "a.png")
+        assert image_extension_ok(94, "a.svg")
+        assert not image_extension_ok(94, "template a.svg")
+        assert not image_extension_ok(94, "coa of x.png")
+
+    def test_integer(self):
+        assert integer_ok("123") and integer_ok(" 12 ") and integer_ok("-4")
+        assert not integer_ok("12.5") and not integer_ok("about 12")
+
+    def test_lengths(self):
+        assert string_length_ok("75001", min_len=2, max_len=20)
+        assert not string_length_ok("x", min_len=2)
+        assert string_length_ok("abcd", exact_len=4)
+        assert not string_length_ok("abc", exact_len=4)
+
+    def test_category_cleanup(self):
+        assert clean_category_title("Category:Foo {bar}") == "Foo bar"
+        assert clean_category_title("a::b") == "a:b"
