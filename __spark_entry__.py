@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline; ``queries`` /
+``oracle_sql`` expose the SURVEY.md §2 operator registry with DuckDB
+oracles (pywdcollections_spark.queries).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship(spark: SparkSession) -> None:
+    from pywdcollections_spark.session import _ship_package
+    _ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end KG construction (extract -> parse -> map ->
+    link -> canonicalize -> validate) over the deterministic fixture
+    pages table, scaled by the sf0.001 documents row count."""
+    _ship(spark)
+    from pywdcollections_spark.config import demo_config
+    from pywdcollections_spark.plans.pipeline import build_kg
+    from pywdcollections_spark.testkit import spark_tables as TK
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = max(100, docs.count())
+    pages = TK.pages_df(spark, n, seed=42, head_templates=25)
+    dims = TK.dim_dfs(spark, n, seed=42)
+    return build_kg(spark, pages, demo_config(), dims)["triples"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pywdcollections_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _ship(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pywdcollections_spark.queries import ORACLES
+    return dict(ORACLES)

@@ -1,0 +1,105 @@
+"""Benchmark runner — one JSON line for the driver (BENCH_r{N}.json).
+
+Times the flagship KG-construction pipeline (pages parquet scan ->
+committed triples parquet) plus headline operator queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+The pages input is generated once per (n_pages, seed) into a temp
+parquet so the timed section measures the pipeline, not the fixture
+generator. Set SPARK_GRAFT_BENCH_PAGES to scale the KG job
+(default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pywdcollections_spark.config import demo_config  # noqa: E402
+from pywdcollections_spark.plans.pipeline import build_kg  # noqa: E402
+from pywdcollections_spark.session import get_spark  # noqa: E402
+from pywdcollections_spark.testkit import spark_tables as TK  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_entity_sitelink_join",
+    "a5_last_wins_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_token_counts",
+    "text_fingerprint",
+]
+
+
+def pages_parquet(spark, n_pages: int, seed: int, cache_dir: str) -> str:
+    path = os.path.join(cache_dir, f"bench_pages_n{n_pages}_s{seed}.parquet")
+    if not os.path.exists(path):
+        TK.pages_df(spark, n_pages, seed,
+                    head_templates=min(10_000, max(200, n_pages // 10))) \
+          .write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_kg(spark, n_pages: int, seed: int = 42,
+           out_dir: str | None = None) -> dict:
+    cache_dir = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pywdc_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = pages_parquet(spark, n_pages, seed, cache_dir)
+    dims = TK.dim_dfs(spark, n_pages, seed)
+    out = out_dir or os.path.join(cache_dir, "triples_out.parquet")
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.time()
+    pages = spark.read.parquet(path)
+    result = build_kg(spark, pages, demo_config(), dims,
+                      n_partitions=spark.sparkContext.defaultParallelism)
+    result["triples"].write.mode("overwrite").parquet(out)
+    wall = time.time() - t0
+    n_triples = spark.read.parquet(out).count()
+    return {"wall_s": round(wall, 2), "n_pages": n_pages,
+            "n_triples": n_triples,
+            "pages_per_sec": round(n_pages / wall, 1),
+            "triples_per_sec": round(n_triples / wall, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("pywdc-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pywdcollections_spark.queries import QUERIES
+    kg = run_kg(spark, n_pages)
+
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 2)
+    qtimes["kg_pipeline"] = kg["wall_s"]
+
+    print(json.dumps({
+        "metric": "kg_pipeline_wall_sec",
+        "value": kg["wall_s"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_pages": kg["n_pages"],
+        "kg_triples": kg["n_triples"],
+        "triples_per_sec": kg["triples_per_sec"],
+        "pages_per_sec": kg["pages_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,13 +33,30 @@ _GRAIN = ["url", "warc_ts", "site", "qid", "template_idx", "param_idx",
           "prop_key", "pred", "datatype"]
 
 
+def target_classes(target_p31: DataFrame, class_p279: DataFrame) -> DataFrame:
+    """(qid, classes: array<long>) — every P31 of the target plus the
+    one-hop P279 supers of those classes (check_constraints semantics,
+    pywdcollections.py:1017-1039). Dim-sized groupBy."""
+    aug = (target_p31
+           .join(class_p279, target_p31["p31"] == class_p279["class_qid"], "left")
+           .select(F.col("qid").alias("cls_qid"), "p31",
+                   F.col("super_qid").alias("p279")))
+    return (aug.groupBy("cls_qid")
+            .agg(F.array_distinct(F.flatten(F.collect_list(
+                F.array_compact(F.array("p31", "p279"))))).alias("classes")))
+
+
 def link_entity_values(cands: DataFrame, sitelinks: DataFrame, redirects: DataFrame,
                        target_p31: DataFrame, class_p279: DataFrame,
                        prop_constraints: DataFrame,
                        broadcast_dims: bool = True) -> DataFrame:
     """Replace ``val`` of entity-datatype candidate rows with the linked
     QID; rows that resolve to nothing are dropped (no triple)."""
-    b = F.broadcast if broadcast_dims else (lambda df: df)
+    # NOTE: no explicit broadcast() hints — dims sit far under
+    # autoBroadcastJoinThreshold so AQE plans broadcast joins from stats;
+    # an explicit hint on a persisted downstream plan triggers a measured
+    # ~10x materialization pathology (AQE + hint + InMemoryRelation).
+    b = lambda df: df
 
     ent = cands.filter(F.col("datatype") == "entity")
     rest = cands.filter(F.col("datatype") != "entity")
@@ -64,29 +81,21 @@ def link_entity_values(cands: DataFrame, sitelinks: DataFrame, redirects: DataFr
                & (m["target_title"] == sl["sl_title"]), "inner") \
          .drop("sl_site", "sl_title")
 
-    # one-hop class data: (target_qid, p31, p279_super) — dim-sized
-    p31aug = b(target_p31
-               .join(class_p279, target_p31["p31"] == class_p279["class_qid"], "left")
-               .select(F.col("qid").alias("cls_qid"), "p31",
-                       F.col("super_qid").alias("p279")))
+    # one-hop class SET per target, aggregated on the DIM side so the
+    # big mention table is never shuffled for the constraint check:
+    # classes(qid) = {all P31} ∪ {one-hop P279 supers of each P31}
     pc = b(prop_constraints.select(F.col("pred").alias("pc_pred"), "constraints"))
+    tclasses = b(target_classes(target_p31, class_p279))
 
     m = (m.join(pc, m["pred"] == pc["pc_pred"], "left").drop("pc_pred")
-          .join(p31aug, m["target_qid"] == p31aug["cls_qid"], "left").drop("cls_qid")
-          .withColumn("hop_pass",
-                      F.coalesce(F.array_contains("constraints", F.col("p31")), F.lit(False))
-                      | F.coalesce(F.array_contains("constraints", F.col("p279")), F.lit(False))))
-
-    # mention-level verdict (a target may have several P31/P279 rows)
-    mention_verdict = (m.groupBy(*_GRAIN, "mention_idx", "target_qid")
-                        .agg(F.max("hop_pass").alias("cpass"),
-                             F.first("constraints").alias("constraints"))
-                        .withColumn("cpass",
-                                    (F.size(F.coalesce("constraints", F.array())) > 0)
-                                    & F.col("cpass")))
+          .join(tclasses, m["target_qid"] == tclasses["cls_qid"], "left").drop("cls_qid")
+          .withColumn("cpass",
+                      (F.size(F.coalesce("constraints", F.array())) > 0)
+                      & F.coalesce(F.arrays_overlap("constraints", "classes"),
+                                   F.lit(False))))
 
     # value-level selection (reference return rule :218-224)
-    picked = (mention_verdict
+    picked = (m
               .groupBy(*_GRAIN)
               .agg(F.sort_array(F.collect_list(
                   F.struct("mention_idx", "cpass", "target_qid"))).alias("ms"))

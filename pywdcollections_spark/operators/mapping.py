@@ -34,7 +34,7 @@ _OUT_COLS = _KEY_COLS + ["param_idx", "prop_key", "pred", "datatype", "val"]
 
 def resolve_template_names(templates: DataFrame, template_redirects: DataFrame) -> DataFrame:
     """J5: canonicalize template names through the redirect dim."""
-    dim = F.broadcast(template_redirects.select("site", "alias_lc", "canonical_lc"))
+    dim = template_redirects.select("site", "alias_lc", "canonical_lc")
     return (templates
             .join(dim, (templates["site"] == dim["site"])
                   & (templates["tname"] == dim["alias_lc"]), "left")
@@ -45,7 +45,7 @@ def resolve_template_names(templates: DataFrame, template_redirects: DataFrame) 
 
 def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame:
     """Named-parameter path. ``templates`` must carry template_lc."""
-    named_map = F.broadcast(template_map.filter(F.col("param_lc").isNotNull()))
+    named_map = template_map.filter(F.col("param_lc").isNotNull())
     params = (templates
               .select(*_KEY_COLS, "template_lc",
                       F.posexplode("params").alias("param_idx", "param"))
@@ -93,24 +93,23 @@ def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame
 def map_positional_params(templates: DataFrame, template_map: DataFrame) -> DataFrame:
     """Positional path: the template maps straight to one property and
     only the first len>2 parameter is taken (W3)."""
-    pos_map = F.broadcast(template_map.filter(F.col("param_lc").isNull()))
+    pos_map = template_map.filter(F.col("param_lc").isNull())
     matched = templates.join(
         pos_map,
         (templates["site"] == pos_map["site"])
         & (templates["template_lc"] == pos_map["template_lc"]),
     ).drop(pos_map["site"]).drop(pos_map["template_lc"])
 
+    # first len>2 param (raw, unstripped, :386) in pure array expressions
+    # — no explode/groupBy shuffle. array_position of the value equals
+    # the first qualifying index (equal strings have equal lengths, so an
+    # earlier occurrence of the same value also qualifies).
+    qualifying = F.filter(F.col("params"), lambda p: F.length(p) > 2)
     first = (matched
-             .select(*_KEY_COLS, "prop_key", "pred", "datatype", "params",
-                     F.posexplode("params").alias("param_idx", "param"))
-             .filter(F.length("param") > 2)   # raw, unstripped (:386)
-             .groupBy(*_KEY_COLS, "prop_key", "pred", "datatype")
-             .agg(F.min_by(F.struct("param_idx", "param", "params"),
-                           F.col("param_idx")).alias("w"))
-             .select(*_KEY_COLS, "prop_key", "pred", "datatype",
-                     F.col("w.param_idx").alias("param_idx"),
-                     F.col("w.param").alias("param"),
-                     F.col("w.params").alias("params")))
+             .withColumn("param", F.try_element_at(qualifying, F.lit(1)))
+             .filter(F.col("param").isNotNull())
+             .withColumn("param_idx",
+                         (F.array_position("params", F.col("param")) - 1).cast("int")))
 
     return (first
             .withColumn("val", F.when(F.col("pred") == "P625",

@@ -68,7 +68,7 @@ def text_parity(pages: DataFrame) -> DataFrame:
 
 
 def resolve_subjects(templates: DataFrame, sitelinks: DataFrame,
-                     broadcast_sitelinks: bool = True) -> DataFrame:
+                     broadcast_sitelinks: bool = False) -> DataFrame:
     """J1: pair each page with its entity via (site, title) sitelinks
     (pywdcollections.py:243,253-267). At fixture scale the dim is
     broadcast; at 10^12-page scale sitelinks is large — drop the hint

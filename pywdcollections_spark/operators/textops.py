@@ -1,0 +1,86 @@
+"""Shared JVM-side text expression builders (no Python UDFs).
+
+Deterministic arithmetic only — every hash here is md5-derived or a
+polynomial over code points, so a SQL oracle (DuckDB) can reproduce
+values bit-for-bit. xxhash64/built-in hash() are NOT used for
+cross-engine-checked values (they differ between engines); xxhash64 is
+reserved for partitioning/salting where only distribution matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def md5_hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+    DuckDB equivalent: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (multi-space safe, empty-safe)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; empty when the text has
+    fewer than n words. Pure built-ins: split + sequence + transform."""
+    ws = words(col)
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]))
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, k: int = 8,
+                      p: int = 1_000_000_007) -> Column:
+    """k min-hash values via affine re-hashing of the md5-derived
+    shingle hash: h_j(s) = (a_j * H(s) + b_j) mod p. Returns
+    array<long> of length k (p when the shingle set is empty)."""
+    sig = []
+    for j in range(k):
+        a, b = 2 * j + 1, 7919 * (j + 1)
+        hj = F.transform(shingles, lambda s: (md5_hash64(s) % p * a + b) % p)
+        sig.append(F.coalesce(F.array_min(hj), F.lit(p)))
+    return F.array(*sig)
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens: bit b set iff the sum of
+    ±1 votes from each token's hash bit b is positive."""
+    th = F.transform(words(col), md5_hash64)
+    fp = F.lit(0)
+    for b in range(16):
+        vote = F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + (h.bitwiseAND(F.lit(1 << b)) != 0).cast("int") * 2 - 1)
+        fp = fp + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the code points of the normalized
+    text (lowercased, whitespace collapsed) — a document fingerprint
+    whose SQL twin is list_reduce over string_split."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    chars = F.split(norm, "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % mod)
+
+
+def cosine(a: Column, b: Column, scale: int = 4) -> Column:
+    """Cosine similarity of two array<float/double> columns, computed in
+    double with left-to-right summation (matches list_dot_product /
+    list-reduce order in the oracle), rounded to ``scale``."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.round(dot / (na * nb), scale)

@@ -1,0 +1,84 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All JVM-side built-ins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.operators.textops import rolling_fingerprint, words
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stop_hits(ws, lang: str):
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language guess with deterministic tie-break
+    (en > fr > de on equal votes, 'und' = no votes)."""
+    ws = words(F.col(text_col))
+    en, fr, de = (_stop_hits(ws, l) for l in ("en", "fr", "de"))
+    guess = (F.when((en >= fr) & (en >= de) & (en > 0), "en")
+              .when((fr >= de) & (fr > 0), "fr")
+              .when(de > 0, "de")
+              .otherwise("und"))
+    return df.select(F.col(id_col).alias("doc"), guess.alias("lang_guess"),
+                     en.alias("en_hits"), fr.alias("fr_hits"), de.alias("de_hits"))
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length band, alpha ratio, punctuation ratio, stopword ratio,
+    mean word length — the standard web-text quality recipe."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ws = words(t)
+    n_words = F.size(ws)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    stop = _stop_hits(ws, "en") + _stop_hits(ws, "fr") + _stop_hits(ws, "de")
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4)
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(stop / F.greatest(n_words, F.lit(1)), 4)
+    mean_wlen = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
+    len_band = F.when(n_chars < 100, 0.2).when(n_chars < 1000, 1.0).otherwise(0.7)
+    # round at 6dp: the composite has at most 6 decimal digits (4dp terms
+    # divided by 4), so no digits are cut and the cross-engine
+    # round-half-tie landmine (Spark HALF_UP vs DuckDB scaled-nearbyint)
+    # cannot trigger
+    score = F.round(
+        (len_band + alpha_ratio + F.least(stop_ratio * 3, F.lit(1.0))
+         + (1 - F.least(punct_ratio * 10, F.lit(1.0)))) / 4, 6)
+    return df.select(F.col(id_col).alias("doc"), n_chars.alias("n_chars"),
+                     n_words.alias("n_words"), alpha_ratio.alias("alpha_ratio"),
+                     punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
+                     mean_wlen.alias("mean_word_len"), score.alias("quality"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens and BPE-ish regex pre-tokens per document —
+    the training-data budgeting counters."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(words(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+        F.length(t).alias("n_chars"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized rolling-hash fingerprint per document (dedup key /
+    shard-stable content id)."""
+    return df.select(F.col(id_col).alias("doc"),
+                     rolling_fingerprint(F.col(text_col)).alias("fingerprint"))

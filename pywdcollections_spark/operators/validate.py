@@ -76,7 +76,7 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
              target_p31: DataFrame, class_p279: DataFrame,
              commons_categories: DataFrame) -> DataFrame:
     """-> staged columns + family, valid, reject_reason, obj_norm."""
-    b = F.broadcast
+    b = lambda df: df  # AQE auto-broadcasts dims (see linking.py note)
     disp = b(spark.createDataFrame(
         dispatch_rows(),
         "pred string, family string, constraints array<long>, "
@@ -107,17 +107,13 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     it = b(items.select(F.col("qid").alias("t_qid")).withColumn("t_exists", F.lit(True)))
     df = df.join(it, df["obj_raw"] == it["t_qid"], "left").drop("t_qid") \
            .withColumn("t_exists", F.coalesce("t_exists", F.lit(False)))
-    p31aug = b(target_p31
-               .join(class_p279, target_p31["p31"] == class_p279["class_qid"], "left")
-               .select(F.col("qid").alias("c_qid"), "p31",
-                       F.col("super_qid").alias("p279")))
-    hop = (df.filter(F.col("family") == "item")
-             .select(*KEY, "obj_raw", "constraints")
-             .join(p31aug, F.col("obj_raw") == p31aug["c_qid"], "left")
-             .withColumn("hp", F.coalesce(F.array_contains("constraints", F.col("p31")), F.lit(False))
-                         | F.coalesce(F.array_contains("constraints", F.col("p279")), F.lit(False)))
-             .groupBy(*KEY).agg(F.max("hp").alias("hop_pass")))
-    df = df.join(hop, KEY, "left").withColumn("hop_pass", F.coalesce("hop_pass", F.lit(False)))
+    # per-target class-set dim join (no shuffle of the triple table)
+    from pywdcollections_spark.operators.linking import target_classes
+    tclasses = b(target_classes(target_p31, class_p279))
+    df = (df.join(tclasses, df["obj_raw"] == tclasses["cls_qid"], "left").drop("cls_qid")
+            .withColumn("hop_pass",
+                        F.coalesce(F.arrays_overlap("constraints", "classes"),
+                                   F.lit(False))))
 
     # image/category title cleanup (:1158, :1212) — chained replaces
     clean_img = F.regexp_replace(F.trim(F.regexp_replace(

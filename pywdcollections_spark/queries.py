@@ -1,0 +1,648 @@
+"""Driver-contract query registry: SURVEY.md §2 operator shapes plus
+the training-data-pipeline operators, each as a (PySpark plan,
+DuckDB oracle SQL) twin over the /root/testdata parquet tables.
+
+Conventions for oracle hash parity:
+ * every computed column aliased identically on both sides;
+ * money/ratio aggregates rounded (sums 2dp, ratios 4-6dp) in BOTH;
+ * counts cast to BIGINT in SQL (DuckDB count is already BIGINT, but
+   SUM(int) is HUGEINT -> cast);
+ * all hashes md5-derived or polynomial (identical across engines —
+   operators.textops);
+ * timestamps formatted to microsecond strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.operators import dedup as D
+from pywdcollections_spark.operators import similarity as SIM
+from pywdcollections_spark.operators import textstats as TS
+from pywdcollections_spark.operators.textops import (
+    md5_hash64, minhash_signature, rolling_fingerprint, simhash16, word_shingles, words,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _reg(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — TPC-H Q1 shape (A1/A5 partial-agg family)
+@_reg("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("date"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+# §2.2 F1 — worklist predicate (staleness filter)
+@_reg("f1_worklist_filter", """
+SELECT l_linestatus, COUNT(*) AS n
+FROM lineitem
+WHERE l_returnflag = 'R'
+  AND (l_shipdate IS NULL OR date_diff('day', l_shipdate, DATE '1998-01-01') > 30)
+GROUP BY l_linestatus
+""")
+def f1_worklist_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    stale = F.col("l_shipdate").isNull() | \
+        (F.datediff(F.lit("1998-01-01").cast("date"), F.col("l_shipdate")) > 30)
+    return (li.filter((F.col("l_returnflag") == "R") & stale)
+            .groupBy("l_linestatus").agg(F.count("*").alias("n")))
+
+
+# §2.2 F2 — excluded-types anti-join
+@_reg("f2_excluded_anti_join", """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer WHERE c_nationkey NOT IN (0, 1, 2)
+GROUP BY c_nationkey
+""")
+def f2_excluded_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    excluded = spark.createDataFrame([(0,), (1,), (2,)], "c_nationkey bigint")
+    return (cust.join(F.broadcast(excluded), "c_nationkey", "left_anti")
+            .groupBy("c_nationkey").agg(F.count("*").alias("n_customers")))
+
+
+# §2.2 F4 — NULL-gated copy eligibility (semi/anti pattern)
+@_reg("f4_copy_eligibility", """
+SELECT user_id, COUNT(*) AS n_signups
+FROM events e
+WHERE event_type = 'signup'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+GROUP BY user_id
+""")
+def f4_copy_eligibility(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (signups.join(buyers, "user_id", "left_anti")
+            .groupBy("user_id").agg(F.count("*").alias("n_signups")))
+
+
+# §2.2 F8/F10 — prefix + extension-style predicates
+@_reg("f10_pattern_predicates", """
+SELECT p_brand, COUNT(*) AS n
+FROM part
+WHERE p_type LIKE '%BRASS' AND regexp_matches(lower(p_name), '(blue|red)')
+GROUP BY p_brand
+""")
+def f10_pattern_predicates(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_type").endswith("BRASS")
+                     & F.lower(F.col("p_name")).rlike("(blue|red)"))
+            .groupBy("p_brand").agg(F.count("*").alias("n")))
+
+
+# §2.3 J1 — entity×sitelink-shaped 3-way equi-join
+@_reg("j1_entity_sitelink_join", """
+SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def j1_entity_sitelink_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+             .groupBy("r_name")
+             .agg(F.count("*").alias("n_customers"),
+                  F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal")))
+
+
+# §2.3 J2 — staging×entity broadcast join
+@_reg("j2_staging_broadcast_join", """
+SELECT p_brand, ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1 GROUP BY p_brand
+""")
+def j2_staging_broadcast_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n_lines")))
+
+
+# §2.3 J6 — one-hop constraint acceptance
+@_reg("j6_one_hop_constraint", """
+SELECT n_name, COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey IN (0, 1) GROUP BY n_name
+""")
+def j6_one_hop_constraint(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey").isin(0, 1))
+    return (s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name").agg(F.count("*").alias("n_suppliers")))
+
+
+# §2.3 J7 — cross-table duplicate anti-join
+@_reg("j7_never_shipped_parts", """
+SELECT p_brand, COUNT(*) AS n_parts
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+""")
+def j7_never_shipped_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    return (p.join(li, "p_partkey", "left_anti")
+            .groupBy("p_brand").agg(F.count("*").alias("n_parts")))
+
+
+# §2.3 J8 / §2.4 A5 — last-wins canonicalization with tie-break
+@_reg("a5_last_wins_upsert", """
+SELECT user_id, event_type, event_id, ROUND(value, 2) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+""")
+def a5_last_wins_upsert(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("user_id", "event_type", "event_id",
+                    F.round("value", 2).alias("value")))
+
+
+# §2.4 A1 — worklist counts
+@_reg("a1_count_worklist", """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus
+""")
+def a1_count_worklist(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_customers")))
+
+
+# §2.4 A4 — in-value mention dedup (sorted distinct collect)
+@_reg("a4_mention_dedup", """
+SELECT l_orderkey,
+       array_to_string(list(DISTINCT l_suppkey ORDER BY l_suppkey), ',') AS supp_csv
+FROM lineitem GROUP BY l_orderkey
+""")
+def a4_mention_dedup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("l_suppkey")))
+                 .alias("supp_csv")))
+
+
+# §2.4 A6 — error/metric accumulation
+@_reg("a6_metrics_accumulate", """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 2) AS sum_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY event_type
+""")
+def a6_metrics_accumulate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts")))
+
+
+# §2.4 A7 — split-value pairing (625a/625b analogue)
+@_reg("a7_split_pairing", """
+SELECT user_id,
+       date_diff('second', MIN(CASE WHEN event_type = 'signup' THEN ts END),
+                           MIN(CASE WHEN event_type = 'purchase' THEN ts END)) AS gap_s
+FROM events GROUP BY user_id
+HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+   AND MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+""")
+def a7_split_pairing(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (ev.groupBy("user_id")
+            .agg(first_signup.alias("s"), first_purchase.alias("p"))
+            .filter(F.col("s").isNotNull() & F.col("p").isNotNull())
+            .select("user_id",
+                    (F.unix_timestamp("p") - F.unix_timestamp("s")).alias("gap_s")))
+
+
+# §2.5 W3/W4 — first-per-group
+@_reg("w3_first_per_group", """
+SELECT l_orderkey, l_partkey, ROUND(l_quantity, 2) AS qty
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      FROM lineitem) WHERE rn = 1
+""")
+def w3_first_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic data — the
+    # full tie-break makes first-per-group deterministic
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (li.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+            .select("l_orderkey", "l_partkey", F.round("l_quantity", 2).alias("qty")))
+
+
+# §2.6 C2 — id extraction (QID -> int analogue)
+@_reg("c2_id_extract", """
+SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT) AS priority_num,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+""")
+def c2_id_extract(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    num = F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).cast("bigint")
+    return o.groupBy(num.alias("priority_num")).agg(F.count("*").alias("n"))
+
+
+# §2.6 C4 — date-age bucketing
+@_reg("c4_date_age_buckets", """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+FROM orders WHERE o_orderdate > DATE '1997-06-01' GROUP BY 1
+""")
+def c4_date_age_buckets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderdate") > F.lit("1997-06-01").cast("date"))
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.count("*").alias("n")))
+
+
+# §2.6 C16 — coalesce fallback chain
+@_reg("c16_coalesce_fallback", """
+SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'fallback') AS segment,
+       COUNT(*) AS n
+FROM customer GROUP BY 1
+""")
+def c16_coalesce_fallback(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("fallback"))
+    return c.groupBy(seg.alias("segment")).agg(F.count("*").alias("n"))
+
+
+# §2.1 S1 — transitive closure (P31/P279* analogue), iterative self-join
+@_reg("s1_transitive_closure", """
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation WHERE n_nationkey < 20),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges WHERE src IN (0, 1)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+SELECT src, dst FROM reach
+""")
+def s1_transitive_closure(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    edges = (n.filter(F.col("n_nationkey") < 20)
+             .select(F.col("n_nationkey").alias("src"),
+                     (F.col("n_nationkey") + 5).alias("dst"))).cache()
+    frontier = edges.filter(F.col("src").isin(0, 1))
+    reach = frontier
+    # fixed-point loop: bounded by graph depth (SURVEY.md §4 closure note)
+    for _ in range(8):
+        step = (frontier.alias("r")
+                .join(edges.alias("e"), F.col("r.dst") == F.col("e.src"))
+                .select(F.col("r.src").alias("src"), F.col("e.dst").alias("dst")))
+        frontier = step.exceptAll(reach).distinct()
+        if frontier.isEmpty():
+            break
+        reach = reach.unionByName(frontier).distinct()
+    return reach
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings tables)
+
+_WS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+_H64 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+_P = 1_000_000_007
+
+
+def _sh_sql(n: int = 2) -> str:
+    """2-gram word shingles over ws (1-based list indexing in DuckDB)."""
+    assert n == 2
+    return ("list_distinct(list_transform(range(1, greatest(len(ws), 1)), "
+            "i -> ws[i] || ' ' || ws[i+1]))")
+
+
+# exact dedup: content hash + same-hash group size
+@_reg("dedup_exact", """
+SELECT doc_id, md5(text) AS content_md5,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_same
+FROM documents
+""")
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return d.select("doc_id", F.md5("text").alias("content_md5"),
+                    F.count("*").over(w).alias("n_same"))
+
+
+# n-gram Jaccard near-dup pairs (exact, shingle-join candidate generation)
+@_reg("dedup_ngram_jaccard", f"""
+WITH d AS (
+  SELECT doc_id, {_sh_sql()} AS sh
+  FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents WHERE doc_id < 150)),
+ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM d),
+sizes AS (SELECT doc, COUNT(*) AS sz FROM ex GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.1
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.1)
+
+
+def _minhash_sql(k: int = 8) -> str:
+    h = _H64.format(s="s")
+    sig = ", ".join(
+        f"coalesce(list_min(list_transform(sh, s -> (({h} % {_P}) * {2*j+1} + {7919*(j+1)}) % {_P})), {_P})"
+        for j in range(k))
+    return f"[{sig}]"
+
+
+# MinHash + LSH banding near-dup pairs, Jaccard-verified
+@_reg("dedup_minhash_lsh", f"""
+WITH d AS (
+  SELECT doc_id, sh, {_minhash_sql(8)} AS sig
+  FROM (SELECT doc_id, {_sh_sql()} AS sh
+        FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents WHERE doc_id < 150))
+  WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, sh, b.band,
+         sig[b.band * 2 + 1]::VARCHAR || '_' || sig[b.band * 2 + 2]::VARCHAR AS bkey
+  FROM d, (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sh_a, sh_b)) AS n_inter,
+         len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS n_union
+  FROM cand)
+SELECT doc_a, doc_b, ROUND(n_inter / n_union, 6) AS jaccard
+FROM scored WHERE n_inter / n_union >= 0.1
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.minhash_lsh_pairs(d, "doc_id", "text", n=2, k=8, bands=4, threshold=0.1)
+
+
+def _simhash_sql() -> str:
+    h = _H64.format(s="w")
+    th = f"list_transform(ws, w -> {h})"
+    bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(th, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END), 'sum') > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(16))
+    return f"(SELECT CAST({bits} AS BIGINT) FROM (SELECT {th} AS th))"
+
+
+@_reg("dedup_simhash", f"""
+SELECT doc_id AS doc, {_simhash_sql()} AS simhash
+FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
+""")
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").alias("doc"),
+                    simhash16(F.col("text")).cast("long").alias("simhash"))
+
+
+_COS_SQL = ("ROUND(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)")
+
+
+# embedding-cosine near-dup pairs
+@_reg("dedup_embedding_cosine", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 200)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_COS_SQL.format(a='a.v', b='b.v')} AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cos >= 0.8
+""")
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(e, "vec_id", "embedding",
+                                    threshold=0.8, max_id=200)
+
+
+# brute-force cosine top-k (similarity-search baseline)
+@_reg("similarity_topk_bruteforce", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+q AS (SELECT vec_id, v FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.v', b='e.v')} AS cos
+  FROM q JOIN e ON q.vec_id <> e.vec_id)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
+def similarity_topk_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return (SIM.brute_force_topk(e, q, "vec_id", "embedding", k=5)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos"))
+
+
+def _bucket_sql(var: str, n_planes: int = 4, dim: int = 64) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(range(0, {dim}), d -> "
+        f"{var}[d+1] * (((({j}*1024 + d) * 2654435761) % 1000) / 499.5 - 1.0)), "
+        f"'sum') > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    return f"({bits})"
+
+
+# LSH-bucketed approximate top-k (the scale path)
+@_reg("similarity_topk_lsh", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+eb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id, v, bucket FROM eb WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT q.vec_id AS query_id, eb.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.v', b='eb.v')} AS cos
+  FROM q JOIN eb ON q.bucket = eb.bucket AND q.vec_id <> eb.vec_id)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
+def similarity_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return (SIM.lsh_bucketed_topk(e, q, "vec_id", "embedding",
+                                  k=5, n_planes=4, dim=64)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos"))
+
+
+# language-ID heuristic
+@_reg("text_langid", f"""
+WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+h AS (SELECT doc_id,
+  len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is'], lower(w)))) AS en_hits,
+  len(list_filter(ws, w -> list_contains(['le','la','et','de','un','une','est'], lower(w)))) AS fr_hits,
+  len(list_filter(ws, w -> list_contains(['der','die','das','und','ein','ist','von'], lower(w)))) AS de_hits
+  FROM d)
+SELECT doc_id AS doc,
+       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+            WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+            WHEN de_hits > 0 THEN 'de' ELSE 'und' END AS lang_guess,
+       en_hits, fr_hits, de_hits
+FROM h
+""")
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = TS.language_id(d, "doc_id", "text")
+    return out.select("doc", "lang_guess",
+                      F.col("en_hits").cast("long").alias("en_hits"),
+                      F.col("fr_hits").cast("long").alias("fr_hits"),
+                      F.col("de_hits").cast("long").alias("de_hits"))
+
+
+# quality scoring
+@_reg("text_quality", f"""
+WITH d AS (SELECT doc_id, text, {_WS_SQL} AS ws,
+                  length(text) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+           FROM documents),
+h AS (SELECT doc_id, n_chars, n_alpha, n_punct, len(ws) AS n_words,
+  len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is'], lower(w))))
+  + len(list_filter(ws, w -> list_contains(['le','la','et','de','un','une','est'], lower(w))))
+  + len(list_filter(ws, w -> list_contains(['der','die','das','und','ein','ist','von'], lower(w)))) AS stop
+  FROM d)
+SELECT doc_id AS doc, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(n_alpha / greatest(n_chars, 1), 4) AS alpha_ratio,
+       ROUND(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       ROUND(stop / greatest(n_words, 1), 4) AS stop_ratio,
+       ROUND(n_alpha / greatest(n_words, 1), 4) AS mean_word_len,
+       ROUND(((CASE WHEN n_chars < 100 THEN 0.2 WHEN n_chars < 1000 THEN 1.0 ELSE 0.7 END)
+              + ROUND(n_alpha / greatest(n_chars, 1), 4)
+              + least(ROUND(stop / greatest(n_words, 1), 4) * 3, 1.0)
+              + (1 - least(ROUND(n_punct / greatest(n_chars, 1), 4) * 10, 1.0))) / 4, 6) AS quality
+FROM h
+""")
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = TS.quality_score(d, "doc_id", "text")
+    return out.select("doc", F.col("n_chars").cast("long").alias("n_chars"),
+                      F.col("n_words").cast("long").alias("n_words"),
+                      "alpha_ratio", "punct_ratio", "stop_ratio",
+                      "mean_word_len", "quality")
+
+
+# token counting (whitespace + BPE-ish regex)
+@_reg("text_token_counts", f"""
+SELECT doc_id AS doc,
+       CAST(len({_WS_SQL}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""")
+def text_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = TS.token_counts(d, "doc_id", "text")
+    return out.select("doc", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# document fingerprinting (rolling hash)
+@_reg("text_fingerprint", f"""
+SELECT doc_id AS doc,
+       list_reduce(list_transform(
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ''),
+         c -> ascii(c)::BIGINT),
+         (a, b) -> (a * 31 + b) % {_P}) AS fingerprint
+FROM documents WHERE length(trim(text)) > 0
+""")
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return TS.fingerprints(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible entries (rows-only driver check)
+
+def kg_harvest_fixture(spark, sf_dir):
+    """Flagship KG pipeline over the deterministic fixture pages table
+    (BASELINE.json north_rule). Not SQL-expressible (pandas-UDF
+    template parsing); the pytest suite holds the exact-parity check."""
+    from pywdcollections_spark.config import demo_config
+    from pywdcollections_spark.plans.pipeline import build_kg
+    from pywdcollections_spark.testkit import spark_tables as TK
+    n = 150
+    pages = TK.pages_df(spark, n, seed=42, head_templates=25)
+    dims = TK.dim_dfs(spark, n, seed=42)
+    return build_kg(spark, pages, demo_config(), dims)["triples"]
+
+
+def multimodal_features(spark, sf_dir):
+    """Binary media column plumbing (decode core stubbed — no codecs in
+    the container; Spark-side schema/batching is real)."""
+    from pywdcollections_spark.operators.multimodal import (
+        extract_media_features, synthetic_media)
+    return extract_media_features(synthetic_media(spark, 64))
+
+
+QUERIES["kg_harvest_fixture"] = kg_harvest_fixture
+QUERIES["multimodal_features"] = multimodal_features
