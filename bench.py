@@ -38,10 +38,11 @@ HEADLINE = [
 
 
 def pages_parquet(spark, n_pages: int, seed: int, cache_dir: str) -> str:
-    path = os.path.join(cache_dir, f"bench_pages_n{n_pages}_s{seed}.parquet")
+    path = os.path.join(cache_dir, f"bench_pages_v2_n{n_pages}_s{seed}.parquet")
     if not os.path.exists(path):
         TK.pages_df(spark, n_pages, seed,
-                    head_templates=min(10_000, max(200, n_pages // 10))) \
+                    head_templates=min(10_000, max(200, n_pages // 10)),
+                    partitions=64) \
           .write.mode("overwrite").parquet(path)
     return path
 
@@ -51,12 +52,16 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     cache_dir = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pywdc_bench")
     os.makedirs(cache_dir, exist_ok=True)
     path = pages_parquet(spark, n_pages, seed, cache_dir)
-    dims = TK.dim_dfs(spark, n_pages, seed)
+    # dims ride as parquet tables (production shape) — generation and
+    # materialization excluded from the timed section
+    dim_paths = TK.write_dim_parquet(
+        spark, n_pages, seed, os.path.join(cache_dir, f"dims_v2_n{n_pages}_s{seed}"))
     out = out_dir or os.path.join(cache_dir, "triples_out.parquet")
     shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.time()
     pages = spark.read.parquet(path)
+    dims = TK.read_dim_parquet(spark, dim_paths)
     result = build_kg(spark, pages, demo_config(), dims,
                       n_partitions=spark.sparkContext.defaultParallelism)
     result["triples"].write.mode("overwrite").parquet(out)

@@ -31,63 +31,55 @@ from __future__ import annotations
 import pandas as pd
 
 
+import re
+
+_TOKEN_SPLIT = re.compile(r"\{\{|\}\}|\[\[|\]\]|\|")
+_TOKEN_BRACES = re.compile(r"\{\{|\}\}")
+
+
 def _split_top_level(body: str) -> list[str]:
-    """Split on '|' ignoring pipes nested in {{ }} or [[ ]]."""
+    """Split on '|' ignoring pipes nested in {{ }} or [[ ]].
+
+    Token-jump scan (single regex pass over the 5 significant tokens)
+    rather than char-by-char — pages are KBs of prose, markers are
+    sparse."""
     parts: list[str] = []
     depth_tpl = 0
     depth_link = 0
-    buf: list[str] = []
-    i, n = 0, len(body)
-    while i < n:
-        two = body[i:i + 2]
-        if two == "{{":
+    start = 0
+    for mo in _TOKEN_SPLIT.finditer(body):
+        tok = mo.group()
+        if tok == "{{":
             depth_tpl += 1
-            buf.append(two)
-            i += 2
-        elif two == "}}" and depth_tpl > 0:
-            depth_tpl -= 1
-            buf.append(two)
-            i += 2
-        elif two == "[[":
+        elif tok == "}}":
+            if depth_tpl > 0:
+                depth_tpl -= 1
+        elif tok == "[[":
             depth_link += 1
-            buf.append(two)
-            i += 2
-        elif two == "]]" and depth_link > 0:
-            depth_link -= 1
-            buf.append(two)
-            i += 2
-        elif body[i] == "|" and depth_tpl == 0 and depth_link == 0:
-            parts.append("".join(buf))
-            buf = []
-            i += 1
-        else:
-            buf.append(body[i])
-            i += 1
-    parts.append("".join(buf))
+        elif tok == "]]":
+            if depth_link > 0:
+                depth_link -= 1
+        elif depth_tpl == 0 and depth_link == 0:  # '|'
+            parts.append(body[start:mo.start()])
+            start = mo.end()
+    parts.append(body[start:])
     return parts
 
 
 def _find_instances(text: str) -> list[str]:
     """Return the body (inside braces) of every template instance,
-    including nested ones, in document order of their opening."""
-    bodies: list[str] = []
+    including nested ones, in document order of their opening.
+    Unterminated opens (stray braces) are dropped."""
     stack: list[int] = []  # positions just after each '{{'
-    i, n = 0, len(text)
     order: list[tuple[int, str]] = []
-    while i < n:
-        if text[i:i + 2] == "{{":
-            stack.append(i + 2)
-            i += 2
-        elif text[i:i + 2] == "}}" and stack:
+    for mo in _TOKEN_BRACES.finditer(text):
+        if mo.group() == "{{":
+            stack.append(mo.end())
+        elif stack:
             start = stack.pop()
-            order.append((start, text[start:i]))
-            i += 2
-        else:
-            i += 1
-    # unterminated opens in `stack` are dropped (stray braces)
+            order.append((start, text[start:mo.start()]))
     order.sort(key=lambda t: t[0])
-    bodies = [b for _, b in order]
-    return bodies
+    return [b for _, b in order]
 
 
 def _has_top_level_eq(param: str) -> bool:

@@ -38,20 +38,24 @@ def extract_and_parse(pages: DataFrame, n_partitions: int | None = None,
     key (upsert order, pywdcollections.py:410-411).
     """
     df = page_identity(pages)
-    if n_partitions:
-        df = df.repartition(n_partitions, F.xxhash64("url"))
     if use_html:
         df = df.withColumn("wikitext", extract_text_udf("html"))
     else:
         df = df.withColumn("wikitext", F.col("text"))
     df = df.drop("html", "text")  # the wide columns stop here
-    return (df
-            .select("url", "warc_ts", "site", "title",
-                    F.posexplode(parse_templates_udf("wikitext"))
-                     .alias("template_idx", "template"))
-            .select("url", "warc_ts", "site", "title", "template_idx",
-                    F.trim(F.lower(F.col("template.name"))).alias("tname"),
-                    F.col("template.params").alias("params")))
+    out = (df
+           .select("url", "warc_ts", "site", "title",
+                   F.posexplode(parse_templates_udf("wikitext"))
+                    .alias("template_idx", "template"))
+           .select("url", "warc_ts", "site", "title", "template_idx",
+                   F.trim(F.lower(F.col("template.name"))).alias("tname"),
+                   F.col("template.params").alias("params")))
+    if n_partitions:
+        # co-locate by url hash AFTER the heavy columns are gone — a
+        # pre-extraction repartition would shuffle the full html/text
+        # payload (~page size x corpus), which is pure disk burn
+        out = out.repartition(n_partitions, F.xxhash64("url"))
+    return out
 
 
 def text_parity(pages: DataFrame) -> DataFrame:

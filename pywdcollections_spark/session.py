@@ -27,6 +27,9 @@ _DEFAULT_CONFS = {
     # Dimension tables (template_map, validator_spec, sitelinks at
     # test scale) are KBs-MBs: keep broadcast threshold generous.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local-scale inputs are ~100s of MB; smaller splits keep every core
+    # scanning (at cluster scale with TB inputs, raise back to 128m)
+    "spark.sql.files.maxPartitionBytes": "16m",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -341,16 +341,38 @@ _PROSE = (
     "Visitors described the gates, [[iron fence]] rows and long paths.\n"
 )
 
+# sentence pool for body prose — pages carry KBs of text like real web
+# pages, so extract/parse work per page is realistic (stray braces and
+# non-template links included as tokenizer distractors)
+_SENTENCES = [
+    "The registry from %d lists plots along the eastern wall and a chapel.",
+    "Restoration in %d replaced the [[stone archway]] over the north gate.",
+    "A survey of %d graves mentioned weathered inscriptions and moss.",
+    "Records note %d visitors during the commemoration season that year.",
+    "The avenue of lindens was planted around %d by the parish council.",
+    "An annex added in %d holds the columbarium and a small archive.",
+    "About %d meters of wrought iron fence follow the southern boundary.",
+    "Maps drawn in %d show the creek diverted around the lower field.",
+]
 
-def render_wikitext(spec: dict) -> str:
+
+def _prose(rng: random.Random, n_sentences: int) -> str:
+    parts = []
+    for _ in range(n_sentences):
+        parts.append(rng.choice(_SENTENCES) % rng.randrange(1650, 2026))
+    parts.append(_PROSE)
+    return " ".join(parts)
+
+
+def render_wikitext(spec: dict, prose_sentences: int = 24) -> str:
     rng = random.Random(f"render:{spec['page_id']}")
     chunks = []
     for t in spec["templates"]:
         if rng.random() < 0.5:
-            chunks.append(_PROSE)
+            chunks.append(_prose(rng, rng.randrange(2, max(3, prose_sentences // 3))))
         chunks.append(t["render"])
         chunks.append("\n")
-    chunks.append(_PROSE)
+    chunks.append(_prose(rng, rng.randrange(prose_sentences // 2, prose_sentences * 2)))
     return "".join(chunks)
 
 
@@ -410,8 +432,9 @@ def expected_text_rows(seed: int, i: int, n_pages: int,
 
 # ---------------------------------------------------------------- dim tables
 
-def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
-    """All broadcast dimension tables (FIXTURES.md §2)."""
+def small_dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
+    """The dims whose size scales with the PLACE pool, not the page
+    count — buildable driver-side at any fixture scale."""
     n_pl = n_places(n_pages)
     sitelinks, redirects, p31, items = [], [], [], []
     for j in range(n_pl):
@@ -427,17 +450,35 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
         p31.append({"qid": country_qid(c), "p31": country_p31(c)})
         items.append({"qid": country_qid(c)})
 
+    template_redirects = []
+    for _, site in LANG_SITES:
+        template_redirects.append({"site": site, "alias_lc": "commons category",
+                                   "canonical_lc": "commonscat"})
+
+    from pywdcollections_spark.registry import source_rows
+    return {
+        "sitelinks": sitelinks,
+        "redirects": redirects,
+        "template_redirects": template_redirects,
+        "target_p31": p31,
+        "class_p279": list(CLASS_P279),
+        "items": items,
+        "sources": source_rows(),
+    }
+
+
+def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
+    """All broadcast dimension tables (FIXTURES.md §2)."""
+    small = small_dim_rows(n_pages, seed)
+    sitelinks = small["sitelinks"]
+    items = small["items"]
+
     # the harvested pages themselves are sitelinked entities (J1 join)
     for i in range(n_pages):
         lang = page_lang(seed, i)
         sitelinks.append({"site": f"{lang}wiki", "title": page_title(i, lang),
                           "qid": entity_qid(i)})
         items.append({"qid": entity_qid(i)})
-
-    template_redirects = []
-    for _, site in LANG_SITES:
-        template_redirects.append({"site": site, "alias_lc": "commons category",
-                                   "canonical_lc": "commonscat"})
 
     entities_seed = []
     for i in range(n_pages):
@@ -465,15 +506,9 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
     for t in range(2000):
         commons_categories.append({"title": f"Head category {t}"})
 
-    from pywdcollections_spark.registry import source_rows
-    return {
-        "sitelinks": sitelinks,
-        "redirects": redirects,
-        "template_redirects": template_redirects,
-        "target_p31": p31,
-        "class_p279": list(CLASS_P279),
-        "items": items,
-        "entities_seed": entities_seed,
-        "commons_categories": commons_categories,
-        "sources": source_rows(),
-    }
+    out = dict(small)
+    out["sitelinks"] = sitelinks
+    out["items"] = items
+    out["entities_seed"] = entities_seed
+    out["commons_categories"] = commons_categories
+    return out
