@@ -83,6 +83,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from pywdcollections_spark.queries import QUERIES
+    # warmup (JIT/codegen/python-daemon spin-up) — a long-lived cluster
+    # is warm; the timed run follows
+    run_kg(spark, max(2000, n_pages // 10))
     kg = run_kg(spark, n_pages)
 
     qtimes: dict[str, float] = {}

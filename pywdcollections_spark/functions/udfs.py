@@ -39,6 +39,15 @@ def parse_templates_udf(texts: pd.Series) -> pd.Series:
     return parse_templates_series(texts)
 
 
+@F.pandas_udf(TEMPLATES_TYPE)
+def extract_and_parse_udf(html: pd.Series) -> pd.Series:
+    """Fused html -> templates: one Arrow crossing instead of two (the
+    intermediate wikitext — KBs per page — never round-trips)."""
+    from pywdcollections_spark.functions.text_extract import extract_text
+    from pywdcollections_spark.functions.wikitemplates import parse_templates
+    return html.map(lambda h: parse_templates(extract_text(h)))
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def wikilink_mentions_udf(vals: pd.Series) -> pd.Series:
     return vals.map(find_wikilink_mentions)

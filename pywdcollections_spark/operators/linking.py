@@ -66,20 +66,24 @@ def link_entity_values(cands: DataFrame, sitelinks: DataFrame, redirects: DataFr
                         F.posexplode(wikilink_mentions_udf("val"))
                          .alias("mention_idx", "mention")))
 
-    rd = b(redirects.select("site", "from_title", "to_title"))
-    m = (mentions
-         .join(rd, (mentions["site"] == rd["site"])
-               & (mentions["mention"] == rd["from_title"]), "left")
-         .drop(rd["site"])
-         .withColumn("target_title", F.coalesce("to_title", "mention"))
-         .drop("from_title", "to_title"))
-
-    sl = b(sitelinks.select(F.col("site").alias("sl_site"),
-                            F.col("title").alias("sl_title"),
-                            F.col("qid").alias("target_qid")))
-    m = m.join(sl, (m["site"] == sl["sl_site"])
-               & (m["target_title"] == sl["sl_title"]), "inner") \
-         .drop("sl_site", "sl_title")
+    # redirect-resolved lookup dim, built ONCE dim-side: direct titles
+    # plus redirect aliases mapped to their target's qid (a title is
+    # either a page or a redirect in MediaWiki, so the union is
+    # collision-free) — one broadcast instead of two chained joins
+    direct = sitelinks.select("site", "title", "qid")
+    via_redirect = (redirects
+                    .join(sitelinks,
+                          (redirects["site"] == sitelinks["site"])
+                          & (redirects["to_title"] == sitelinks["title"]))
+                    .select(redirects["site"],
+                            F.col("from_title").alias("title"), "qid"))
+    sl = b(direct.unionByName(via_redirect)
+           .select(F.col("site").alias("sl_site"),
+                   F.col("title").alias("sl_title"),
+                   F.col("qid").alias("target_qid")))
+    m = mentions.join(sl, (mentions["site"] == sl["sl_site"])
+                      & (mentions["mention"] == sl["sl_title"]), "inner") \
+                .drop("sl_site", "sl_title")
 
     # one-hop class SET per target, aggregated on the DIM side so the
     # big mention table is never shuffled for the constraint check:

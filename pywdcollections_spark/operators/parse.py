@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pywdcollections_spark.functions.udfs import extract_text_udf, parse_templates_udf
+from pywdcollections_spark.functions.udfs import (
+    extract_and_parse_udf, extract_text_udf, parse_templates_udf)
 
 
 def page_identity(pages: DataFrame) -> DataFrame:
@@ -39,13 +40,14 @@ def extract_and_parse(pages: DataFrame, n_partitions: int | None = None,
     """
     df = page_identity(pages)
     if use_html:
-        df = df.withColumn("wikitext", extract_text_udf("html"))
+        # fused single Arrow crossing (extract + tokenize in one UDF)
+        df = df.withColumn("templates", extract_and_parse_udf("html"))
     else:
-        df = df.withColumn("wikitext", F.col("text"))
+        df = df.withColumn("templates", parse_templates_udf("text"))
     df = df.drop("html", "text")  # the wide columns stop here
     out = (df
            .select("url", "warc_ts", "site", "title",
-                   F.posexplode(parse_templates_udf("wikitext"))
+                   F.posexplode("templates")
                     .alias("template_idx", "template"))
            .select("url", "warc_ts", "site", "title", "template_idx",
                    F.trim(F.lower(F.col("template.name"))).alias("tname"),

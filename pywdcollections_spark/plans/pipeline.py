@@ -52,8 +52,9 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
 
     templates = P.extract_and_parse(pages, n_partitions=n_partitions, use_html=use_html)
     templates = P.resolve_subjects(templates, dims["sitelinks"])
-    if persist:
-        templates = templates.persist(StorageLevel.DISK_ONLY)
+    # NB: templates is deliberately NOT persisted — the two mapping
+    # branches re-run the (cheap, fully parallel) extract+parse rather
+    # than paying a materialization barrier on the critical path
     cands = M.map_parameters(templates, template_map, dims["template_redirects"])
     if persist:
         cands = cands.persist(StorageLevel.DISK_ONLY)
@@ -83,11 +84,15 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
                        "source", "site_qid", "url", "warc_ts"))
     rejects = validated.filter(~F.col("valid")) \
                        .select("subj", "pred", "obj_raw", "source", "url", "reject_reason")
+    from pywdcollections_spark.operators.promote import promote_to_entities
     return {
         "staged": staged,
         "validated": validated,
         "triples": triples,
         "rejects": rejects,
+        # promotion: the copy_harvested_properties/update_item cycle
+        # (pywdcollections.py:476-498,416-434) as one set-based merge
+        "entities": promote_to_entities(dims["entities_seed"], triples),
         "lineage": lineage(pages, validated),
     }
 

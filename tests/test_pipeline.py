@@ -75,3 +75,10 @@ def test_full_build_outputs(spark, fixture_tables):
     # lineage covers every bucket with pages
     lin = out["lineage"]
     assert lin.filter(F.col("n_pages") <= 0).count() == 0
+    # promoted entity table: every valid triple's value landed unless the
+    # entity already had one (F4 null-gate)
+    ents = out["entities"].cache()
+    assert ents.count() == dims["entities_seed"].count()
+    promoted = (triples.groupBy("subj").count()
+                .join(ents, triples["subj"] == ents["qid"]))
+    assert promoted.count() > 0
