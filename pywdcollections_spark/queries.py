@@ -107,13 +107,15 @@ SELECT user_id, COUNT(*) AS n_signups
 FROM events e
 WHERE event_type = 'signup'
   AND NOT EXISTS (SELECT 1 FROM events p
-                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+                    AND p.value > 90)
 GROUP BY user_id
 """)
 def f4_copy_eligibility(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     signups = ev.filter(F.col("event_type") == "signup")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    buyers = (ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+              .select("user_id").distinct())
     return (signups.join(buyers, "user_id", "left_anti")
             .groupBy("user_id").agg(F.count("*").alias("n_signups")))
 
@@ -182,12 +184,14 @@ def j6_one_hop_constraint(spark, sf_dir):
 @_reg("j7_never_shipped_parts", """
 SELECT p_brand, COUNT(*) AS n_parts
 FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 45)
 GROUP BY p_brand
 """)
 def j7_never_shipped_parts(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey")).distinct()
+    li = (_t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+          .select(F.col("l_partkey").alias("p_partkey")).distinct())
     return (p.join(li, "p_partkey", "left_anti")
             .groupBy("p_brand").agg(F.count("*").alias("n_parts")))
 
@@ -319,6 +323,22 @@ def c16_coalesce_fallback(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("fallback"))
     return c.groupBy(seg.alias("segment")).agg(F.count("*").alias("n"))
+
+
+# §2.2 F3 — incremental change detection (left-anti on key+timestamp)
+@_reg("f3_incremental_changes", """
+SELECT e.event_id, e.user_id
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_id < 5000
+                    AND s.event_id = e.event_id AND s.ts = e.ts)
+""")
+def f3_incremental_changes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    snapshot = ev.filter(F.col("event_id") < 5000).select("event_id", "ts")
+    from pywdcollections_spark.operators.promote import incremental_changes
+    return (incremental_changes(snapshot, ev, key="event_id", ts_col="ts")
+            .select("event_id", "user_id"))
 
 
 # §2.1 S1 — transitive closure (P31/P279* analogue), iterative self-join
@@ -468,12 +488,12 @@ SELECT * FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_COS_SQL.format(a='a.v', b='b.v')} AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
-WHERE cos >= 0.8
+WHERE cos >= 0.3
 """)
 def dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return D.embedding_cosine_pairs(e, "vec_id", "embedding",
-                                    threshold=0.8, max_id=200)
+                                    threshold=0.3, max_id=200)
 
 
 # brute-force cosine top-k (similarity-search baseline)

@@ -24,10 +24,12 @@ _DEFAULT_CONFS = {
     # Arrow batching for every Python crossing (no per-row Python).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # Dimension tables (template_map, validator_spec, sitelinks) must
-    # stay in the broadcast regime across bench scales — a threshold
-    # crossing flips the plan to sort-merge joins mid-scale-sweep.
-    "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+    # config-derived dims (template maps, validators, class sets)
+    # broadcast; corpus-scale dims (sitelinks at millions of rows) are
+    # ABOVE this threshold on purpose — their join must take the
+    # parallel shuffle path, exactly as it would at web scale where
+    # sitelinks cannot be broadcast (measured: also faster locally)
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
     # local-scale inputs are ~100s of MB; smaller splits keep every core
     # scanning (at cluster scale with TB inputs, raise back to 128m)
     "spark.sql.files.maxPartitionBytes": "16m",
