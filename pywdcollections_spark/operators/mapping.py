@@ -70,14 +70,19 @@ def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame
                  .withColumn("val", coord_named_normalize_udf("val"))
                  .select(*_KEY_COLS, "param_idx", "prop_key", "pred", "datatype", "val"))
 
-    # 625a/625b pair within one template instance; the save fires at the
-    # later of the two params (:380-382), value always 'lat|lon|0'
+    # 625a/625b pair within one template instance; the save re-fires at
+    # every 625a/625b param once both are set (:370-382), so under the
+    # last-wins upsert the LAST occurrence of each half is what lands —
+    # max-by-param_idx via struct max (nulls from the other half are
+    # ignored by MAX), not string max
     pairs = (matched
              .filter(F.col("prop_key").isin("625a", "625b"))
              .groupBy(*_KEY_COLS)
              .agg(
-                 F.max(F.when(F.col("prop_key") == "625a", F.col("val"))).alias("lat"),
-                 F.max(F.when(F.col("prop_key") == "625b", F.col("val"))).alias("lon"),
+                 F.max(F.when(F.col("prop_key") == "625a",
+                              F.struct("param_idx", "val")))["val"].alias("lat"),
+                 F.max(F.when(F.col("prop_key") == "625b",
+                              F.struct("param_idx", "val")))["val"].alias("lon"),
                  F.max("param_idx").alias("param_idx"),
              )
              .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())

@@ -209,6 +209,7 @@ def page_spec(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dic
         if rng.random() < 0.7 and site == "enwiki":  # Infobox cemetery
             params: list[str] = []
             saves: list[tuple] = []
+            pair_625 = False
             if forced_dup_image(seed, i):
                 # deterministic J7 collision with entities_seed P154
                 img = f"{title} photo.jpg"
@@ -238,10 +239,16 @@ def page_spec(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dic
             elif coord_mode < 0.5:
                 lat = round(rng.uniform(-89, 89), 4)
                 lon = round(rng.uniform(-179, 179), 4)
+                if rng.random() < 0.3:
+                    # duplicate lat param: the reference re-fires the
+                    # pairing save at every 625a/625b param once both are
+                    # set (pywdcollections.py:380-382), so the last-wins
+                    # upsert keeps the last-seen lat/lon in RENDERED
+                    # order — the save is computed after the shuffle below
+                    params.append(f"lat={round(rng.uniform(-89, 89), 4)}")
                 params.append(f"lat={lat}")
                 params.append(f"lon={lon}")
-                # 625a/625b pair into one P625 (pywdcollections.py:370-382)
-                saves.append(("P625", f"{lat}|{lon}|0"))
+                pair_625 = True
             elif coord_mode < 0.55:
                 lat = round(rng.uniform(-89, 89), 4)
                 params.append(f"lat={lat}")  # unpaired -> nothing staged
@@ -293,6 +300,12 @@ def page_spec(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dic
             if rng.random() < 0.2:
                 params.append("style={{small|ornate}} fence")  # nested template distractor
             rng.shuffle(params)
+            if pair_625:
+                # 625a/625b pair into one P625 (pywdcollections.py:370-382)
+                # from the rendered order: last lat/lon occurrences win
+                last_lat = [p[4:] for p in params if p.startswith("lat=")][-1]
+                last_lon = [p[4:] for p in params if p.startswith("lon=")][-1]
+                saves.append(("P625", f"{last_lat}|{last_lon}|0"))
             templates.append({
                 "render": "{{Infobox cemetery|" + "|".join(params) + "}}",
                 "saves": saves,
