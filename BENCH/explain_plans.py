@@ -44,14 +44,26 @@ def main():
     pages = spark.read.parquet(f"{base}/pages.parquet")
     dims = TK.read_dim_parquet(spark, dim_paths)
 
-    out = build_kg(spark, pages, demo_config(), dims, persist=False)
+    # persist=True is the production shape: the parsed-template rows
+    # materialize once and the mapping fan-out reads the cache — the
+    # plan must show exactly ONE ArrowEvalPython (extract+parse) branch
+    out = build_kg(spark, pages, demo_config(), dims, persist=True)
     out["triples"].count()  # execute so AQE finalizes (codegen ids visible)
     triples_plan = formatted(out["triples"])
+
+    # the parse stage in isolation (pipeline step 1-2): the one subtree
+    # the template cache materializes
+    from pywdcollections_spark.operators import parse as P
+    templates = P.resolve_subjects(
+        P.extract_and_parse(pages, n_partitions=4), dims["sitelinks"])
+    templates_plan = formatted(templates)
 
     from pywdcollections_spark.queries import QUERIES
     sf = "/root/testdata/sf0.01"
     q1_plan = formatted(QUERIES["q1_pricing_summary"](spark, sf))
     lsh_plan = formatted(QUERIES["dedup_minhash_lsh"](spark, sf))
+    emb_plan = formatted(QUERIES["dedup_embedding_cosine"](spark, sf))
+    ann_plan = formatted(QUERIES["similarity_topk_lsh"](spark, sf))
 
     checks = []
     def check(name, cond, detail=""):
@@ -73,16 +85,51 @@ def main():
           or "PushedFilters" in q1_plan)
     check("q1 column pruning (ReadSchema subset)",
           "l_comment" not in q1_plan)
+    # Single-parse evidence. NB: formatted explain reprints a cached
+    # relation's subtree at EVERY InMemoryTableScan reference, so node
+    # counts over the text overcount; the structural facts are (a) the
+    # parse stage's own plan has exactly one ArrowEvalPython chain over
+    # one pages scan, and (b) in the flagship plan every ArrowEvalPython
+    # sits BEHIND an InMemoryRelation (computed once by the cache
+    # contract) — the plan outside the caches is pure relational.
+    tree = templates_plan.split("\n\n")[0]  # tree section, not node details
+    n_parse = tree.count("- ArrowEvalPython")
+    n_scans = tree.count("- Scan parquet")
+    check("parse stage = ONE Arrow crossing over ONE pages scan",
+          n_parse == 1 and n_scans == 2,
+          f"{n_parse} ArrowEvalPython, {n_scans} scans (pages+sitelinks)")
+    check("mapping fan-out reads the template cache (Union over InMemoryTableScan)",
+          "ArrowEvalPython" not in triples_plan.split("InMemoryRelation")[0],
+          "no Python crossing outside a cache in the flagship plan")
+    check("embedding dedup has NO cartesian/nested-loop node",
+          "BroadcastNestedLoopJoin" not in emb_plan
+          and "CartesianProduct" not in emb_plan)
+    check("ANN LSH top-k has NO cartesian/nested-loop node (equi bucket join)",
+          "BroadcastNestedLoopJoin" not in ann_plan
+          and "CartesianProduct" not in ann_plan)
+    # band exchange carries keys only: no Exchange/Broadcast output
+    # that includes the band key also carries the shingle array
+    band_outs = [ln for ln in lsh_plan.splitlines()
+                 if ln.startswith(("Output", "Arguments")) and "bkey" in ln]
+    check("minhash band join carries keys only (no shingle array in exchange)",
+          bool(band_outs) and not any("sh#" in ln or "sh_" in ln for ln in band_outs),
+          f"{len(band_outs)} band-keyed node outputs checked")
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# Physical plans (explain 'formatted')\n\n")
         f.write("Checks:\n" + "\n".join(checks) + "\n\n")
-        f.write("## Flagship KG pipeline -> triples\n\n```\n")
+        f.write("## Parse stage (the cached template subtree)\n\n```\n")
+        f.write(templates_plan[:8000])
+        f.write("\n```\n\n## Flagship KG pipeline -> triples\n\n```\n")
         f.write(triples_plan[:20000])
         f.write("\n```\n\n## q1_pricing_summary\n\n```\n")
         f.write(q1_plan[:8000])
         f.write("\n```\n\n## dedup_minhash_lsh\n\n```\n")
         f.write(lsh_plan[:8000])
+        f.write("\n```\n\n## dedup_embedding_cosine (LSH-bucketed)\n\n```\n")
+        f.write(emb_plan[:8000])
+        f.write("\n```\n\n## similarity_topk_lsh (multi-probe)\n\n```\n")
+        f.write(ann_plan[:8000])
         f.write("\n```\n")
     print("\n".join(checks))
 

@@ -48,6 +48,17 @@ def extract_and_parse_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: parse_templates(extract_text(h)))
 
 
+# Both parse UDFs ARE deterministic, but are marked nondeterministic to
+# stop InferFiltersFromGenerate duplicating the Python crossing: the
+# inferred `size(templates)>0` filter below the posexplode otherwise
+# re-evaluates the UDF, doubling the dominant cost of the whole
+# pipeline (measured: two stacked ArrowEvalPython nodes per page scan
+# in BENCH/PLANS.md before this). No correctness impact — the columns
+# only ever feed a projection + explode.
+parse_templates_udf = parse_templates_udf.asNondeterministic()
+extract_and_parse_udf = extract_and_parse_udf.asNondeterministic()
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def wikilink_mentions_udf(vals: pd.Series) -> pd.Series:
     return vals.map(find_wikilink_mentions)
@@ -88,6 +99,23 @@ def coord_parse_udf(vals: pd.Series) -> pd.DataFrame:
 @F.pandas_udf(T.StringType())
 def url_normalize_udf(vals: pd.Series) -> pd.Series:
     return vals.map(lambda v: normalize_url(v) if v is not None else None)
+
+
+@F.pandas_udf(T.BooleanType())
+def int_parse_ok_udf(vals: pd.Series) -> pd.Series:
+    """Bit parity with the reference's integer gate, which is literally
+    ``int(value)`` in a try/except (pywdcollections.py:1182-1185):
+    Python int() also accepts digit-group underscores ('1_234') and
+    unicode digits, which no portable regex reproduces exactly."""
+    def ok(v):
+        if v is None:
+            return None
+        try:
+            int(v)
+            return True
+        except (TypeError, ValueError):
+            return False
+    return vals.map(ok)
 
 
 def python_trim(col):

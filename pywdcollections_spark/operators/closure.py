@@ -22,7 +22,7 @@ def descendants(class_edges: DataFrame, roots: list[int],
     spark = class_edges.sparkSession
     reach = spark.createDataFrame([(r,) for r in roots], "cls long")
     frontier = reach
-    for _ in range(max_iters):
+    for i in range(max_iters):
         step = (frontier.join(class_edges,
                               frontier["cls"] == class_edges["super_qid"])
                 .select(F.col("sub_qid").alias("cls")).distinct())
@@ -30,6 +30,11 @@ def descendants(class_edges: DataFrame, roots: list[int],
         if frontier.isEmpty():
             break
         reach = reach.unionByName(frontier).distinct()
+        # cut the per-iteration union/distinct lineage so a deep
+        # hierarchy doesn't rebuild i plans at iteration i (and the
+        # optimizer doesn't re-analyze an O(depth) tree each pass)
+        reach = reach.localCheckpoint(eager=False)
+        frontier = frontier.localCheckpoint(eager=False)
     return reach
 
 

@@ -73,28 +73,41 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5) -> DataFrame:
     """MinHash + LSH banding: docs whose signatures collide in >=1 band
     become candidate pairs, then exact Jaccard verifies. rows_per_band
-    = k/bands. Scale path for near-dup at corpus size."""
+    = k/bands. Scale path for near-dup at corpus size.
+
+    Shuffle discipline: band rows carry KEYS ONLY (doc, band, bkey) —
+    the shingle payload never enters the band exchange, where it would
+    be duplicated bands× and shuffled once per candidate pair. Shingles
+    are re-derived from the doc table only for the two sides of the
+    (small) verified candidate set; shingle computation is JVM-side
+    whole-stage codegen, so recomputing it for candidates is far
+    cheaper at 100 TB than shuffling array payloads."""
     rows = k // bands
     docs = (df.select(F.col(id_col).alias("doc"),
                       F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
-            .filter(F.size("sh") > 0)
-            .withColumn("sig", minhash_signature(F.col("sh"), k=k)))
-    band_rows = docs.select(
-        "doc", "sh",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("band"),
-                     F.concat_ws("_", *[F.col("sig")[j * rows + r]
-                                        for r in range(rows)]).alias("bkey"))
-            for j in range(bands)])).alias("b"))
-    band_rows = band_rows.select("doc", "sh", "b.band", "b.bkey")
+            .filter(F.size("sh") > 0))
+    band_rows = (docs
+                 .withColumn("sig", minhash_signature(F.col("sh"), k=k))
+                 .select(
+                     "doc",
+                     F.explode(F.array(*[
+                         F.struct(F.lit(j).alias("band"),
+                                  F.concat_ws("_", *[F.col("sig")[j * rows + r]
+                                                     for r in range(rows)]).alias("bkey"))
+                         for j in range(bands)])).alias("b"))
+                 .select("doc", "b.band", "b.bkey"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
                    & (F.col("a.doc") < F.col("b.doc")))
-            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                    F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
+    cand = (cand
+            .join(docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+                  "doc_a")
+            .join(docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+                  "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (cand
@@ -118,17 +131,91 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
             .filter(F.col("n_docs") > 1))
 
 
+def simhash_hamming_pairs(df: DataFrame, id_col: str, text_col: str,
+                          bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole banding over the 16-bit fingerprint: with ``bands``
+    equal bit-slices, any pair within bands-1 flipped bits agrees on at
+    least one slice, so candidates come from a (band_idx, slice_bits)
+    equi-join — never an all-pairs comparison — and bit_count(xor)
+    verifies. Requires max_hamming <= bands - 1 for exact recall."""
+    assert max_hamming <= bands - 1, "pigeonhole needs bands > max_hamming"
+    width = 16 // bands
+    fp = simhash_fingerprints(df, id_col, text_col)
+    band_rows = fp.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.shiftright("simhash", j * width)
+                      .bitwiseAND(F.lit((1 << width) - 1)).alias("bkey"))
+            for j in range(bands)])).alias("b")) \
+        .select("doc", "simhash", "b.band", "b.bkey")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["doc_a", "doc_b"]))
+
+
 def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                            threshold: float = 0.9,
                            max_id: int | None = None) -> DataFrame:
-    """Near-dup by embedding cosine. All-pairs form (bounded input);
-    the ANN path for corpus scale lives in operators.similarity."""
+    """Near-dup by embedding cosine, ALL-PAIRS form — O(n²) theta join,
+    kept ONLY as the bounded-input oracle twin / recall reference.
+    The scale path is embedding_lsh_cosine_pairs below."""
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     if max_id is not None:
         base = base.filter(F.col("vid") < max_id)
     a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def embedding_lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                               threshold: float = 0.9, n_planes: int = 4,
+                               dim: int = 64, tables: int = 2,
+                               max_id: int | None = None) -> DataFrame:
+    """Near-dup by embedding cosine at corpus scale: candidate pairs
+    come from random-hyperplane sign buckets (an EQUI join per hash
+    table — no cartesian/nested-loop node in the plan), then cosine
+    verifies within candidates.
+
+    ``tables`` independent hyperplane families trade compute for
+    recall: a pair at angle θ collides in one table with probability
+    (1-θ/π)^n_planes, and in ≥1 of t tables with 1-(1-p)^t — at a true
+    near-dup threshold (cos ≥ 0.9, θ ≤ 26°) the defaults give ~0.79;
+    raise ``tables`` to 4 for ~0.96. The deliberately-loose driver
+    query (threshold 0.3) exercises the plan shape, with its oracle
+    reproducing the same buckets so the check is exact."""
+    from pywdcollections_spark.operators.similarity import lsh_bucket
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if max_id is not None:
+        base = base.filter(F.col("vid") < max_id)
+    for t in range(tables):
+        base = base.withColumn(
+            f"b{t}", lsh_bucket(F.col("v"), n_planes, dim, plane_offset=t * n_planes))
+    cand = None
+    for t in range(tables):
+        a = base.select(F.col("vid").alias("id_a"), F.col(f"b{t}").alias("bk"))
+        b = base.select(F.col("vid").alias("id_b"), F.col(f"b{t}").alias("bk"))
+        c = (a.join(b, "bk")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))

@@ -63,6 +63,38 @@ def labels_with_fallback(texts: DataFrame, languages: list[str]) -> DataFrame:
                     F.coalesce("d_own", "d_mul", F.lit("")).alias("description")))
 
 
+def merge_labels(existing: DataFrame, incoming: DataFrame,
+                 overwrite: bool = False,
+                 value_col: str = "label") -> DataFrame:
+    """Write-side label/description merge — write_label /
+    write_descriptions semantics (pywdcollections.py:1109-1137) as one
+    set-based merge keyed on (qid, lang):
+
+     * missing in existing            -> 'add' (always);
+     * present and different incoming -> 'fix' iff ``overwrite``;
+     * everything else                -> 'keep'.
+
+    Descriptions use the same merge with ``value_col='description'``.
+    Returns (qid, lang, <value_col>, action). ``existing`` plays the
+    reference's live item.labels/.descriptions; feeding only qids whose
+    item exists mirrors the ItemPage.exists() gate (:1110,:1128)."""
+    ex = existing.select("qid", "lang", F.col(value_col).alias("l_old"))
+    inc = incoming.select("qid", "lang", F.col(value_col).alias("l_new"))
+    merged = ex.join(inc, ["qid", "lang"], "full_outer")
+    action = (
+        F.when(F.col("l_old").isNull(), F.lit("add"))
+         .when(F.col("l_new").isNull() | (F.col("l_new") == F.col("l_old")),
+               F.lit("keep"))
+         .when(F.lit(bool(overwrite)), F.lit("fix"))
+         .otherwise(F.lit("keep")))
+    return (merged
+            .withColumn("action", action)
+            .withColumn(value_col,
+                        F.when(F.col("action") == "keep", F.col("l_old"))
+                         .otherwise(F.col("l_new")))
+            .select("qid", "lang", value_col, "action"))
+
+
 def incremental_changes(snapshot: DataFrame, incoming: DataFrame,
                         key: str = "qid", ts_col: str = "last_modified") -> DataFrame:
     """F3: rows whose (key, ts) is absent from the snapshot — the

@@ -28,10 +28,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pywdcollections_spark import registry
-from pywdcollections_spark.functions.udfs import coord_parse_udf, url_normalize_udf
+from pywdcollections_spark.functions.udfs import (
+    coord_parse_udf, int_parse_ok_udf, url_normalize_udf)
 
 _SPECIFIC_WRITERS = {281, 373, 625, 856, 1047, 1866, 6788, 8389}
-_INT_RE = r"^\s*[+-]?[0-9]+\s*$"  # Python int() acceptance (:1182-1185)
 
 KEY = ["subj", "pred", "source"]
 
@@ -129,7 +129,12 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
 
     df = (df
           .withColumn("coord", F.when(F.col("family") == "p625", coord_parse_udf("obj_raw")))
-          .withColumn("url_norm", F.when(F.col("family") == "p856", url_normalize_udf("obj_raw"))))
+          .withColumn("url_norm", F.when(F.col("family") == "p856", url_normalize_udf("obj_raw")))
+          # integer gate is literally int(value) in the reference
+          # (:1182-1185) — a pandas UDF calling int() for bit parity
+          # ('1_234', unicode digits), same pattern as the coord/url gates
+          .withColumn("int_ok", F.when(F.col("family") == "integer",
+                                       int_parse_ok_udf("obj_raw"))))
 
     # image extension predicate (:1141-1144)
     t_ = F.lower("obj_raw")
@@ -158,7 +163,7 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
         .when(fam.isin("integer", "p281", "p373", "p625", "p856",
                        "p1047", "p1866", "p6788", "p8389") & F.col("already"),
               "already_present")
-        .when((fam == "integer") & ~F.col("obj_raw").rlike(_INT_RE), "bad_integer")
+        .when((fam == "integer") & ~F.coalesce("int_ok", F.lit(False)), "bad_integer")
         .when(fam.isin("p281", "p1047", "p1866", "p6788", "p8389") & ~length_ok,
               "bad_length")
         .when((fam == "p373") & (F.col("clean_cat") == ""), "empty_title")

@@ -7,10 +7,15 @@ Layout under ``out_dir``:
     rejects/   parquet partitioned by bucket
     lineage/   parquet append-only: one row per completed bucket
 
-A run processes only buckets absent from lineage; a killed run leaves
-complete buckets (each bucket commits atomically via its own write)
-and a re-run finishes the rest, yielding tables identical to a single
-uninterrupted run (tested in tests/test_checkpoint.py).
+A run processes only buckets absent from lineage. Crash-window
+discipline: data lands with dynamic-partition OVERWRITE keyed on
+bucket and the lineage row commits last, so a kill anywhere — between
+groups OR between the data write and the lineage write — leaves a
+state whose re-run replaces the partial bucket partitions instead of
+appending them twice, yielding tables identical to a single
+uninterrupted run (both windows tested in tests/test_checkpoint.py).
+Every bucket in a group gets a lineage row, including buckets with
+zero pages, so sparse inputs are not reprocessed forever.
 """
 
 from __future__ import annotations
@@ -37,14 +42,27 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
         return []
 
 
+def _write_bucketed(df: DataFrame, path: str) -> None:
+    """Dynamic-partition overwrite on bucket: re-running a bucket
+    REPLACES its partition directory instead of appending a second
+    copy — the idempotency unit for the crash window between the data
+    write and the lineage write."""
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("bucket").parquet(path))
+
+
 def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
                         config: CollectionConfig, dims: dict[str, DataFrame],
                         out_dir: str, n_buckets: int = 16,
                         bucket_groups: int = 4,
-                        max_groups: int | None = None) -> dict:
+                        max_groups: int | None = None,
+                        fail_before_lineage: int | None = None) -> dict:
     """Process pages in ``bucket_groups`` commit units (each covering
     n_buckets/bucket_groups url-hash buckets). ``max_groups`` simulates
-    a mid-job failure for tests. Returns progress counters."""
+    a kill between groups; ``fail_before_lineage`` simulates a kill
+    INSIDE group ``i``'s data->lineage window (data written, lineage
+    not) — both for tests. Returns progress counters."""
     done = set(completed_buckets(spark, out_dir))
     pages_b = pages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
     per_group = n_buckets // bucket_groups
@@ -62,17 +80,20 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
         out = build_kg(spark, subset.drop("bucket"), config, dims)
         triples = out["triples"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         rejects = out["rejects"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
-        triples.write.mode("append").partitionBy("bucket") \
-               .parquet(os.path.join(out_dir, "triples"))
-        rejects.write.mode("append").partitionBy("bucket") \
-               .parquet(os.path.join(out_dir, "rejects"))
-        # lineage rows commit last: a bucket group is "done" only after
-        # its data lands (crash between writes -> bucket re-runs, and
-        # the overwrite-by-partition below keeps that idempotent)
-        lin = (subset.groupBy("bucket").agg(F.count("*").alias("n_pages"))
+        _write_bucketed(triples, os.path.join(out_dir, "triples"))
+        _write_bucketed(rejects, os.path.join(out_dir, "rejects"))
+        if fail_before_lineage is not None and processed == fail_before_lineage:
+            raise RuntimeError("simulated kill inside data->lineage window")
+        # lineage rows commit last: a bucket is "done" only after its
+        # data lands. EVERY bucket in todo gets a row — including
+        # zero-page buckets, which would otherwise be retried forever
+        todo_df = spark.createDataFrame([(b,) for b in todo], "bucket long")
+        lin = (todo_df
+               .join(subset.groupBy("bucket").agg(F.count("*").alias("n_pages")),
+                     "bucket", "left")
                .join(triples.groupBy("bucket").agg(F.count("*").alias("n_triples")),
                      "bucket", "left")
-               .fillna(0, ["n_triples"])
+               .fillna(0, ["n_pages", "n_triples"])
                .withColumn("completed_at", F.current_timestamp()))
         lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
         done.update(todo)

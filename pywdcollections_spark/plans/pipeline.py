@@ -37,13 +37,15 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     """pages -> staged triples (the `harvested` staging analogue).
 
     ``persist`` materializes the parsed-template rows once: the mapping
-    stage fans out into three branches (named / positional / pair) and
-    the linking stage into two — without persistence each branch
-    re-runs the extract+parse pandas UDFs over the full pages scan.
-    DISK_ONLY: measured ~50x faster to materialize than the in-memory
-    columnar cache on array-typed columns (the columnar build dominates),
-    and at cluster scale this is where a production job would checkpoint
-    to a staging table anyway.
+    stage fans out into four union branches (named plain / named-625 /
+    625a-b pairs / positional) and the linking stage into two — without
+    persistence EVERY branch re-runs the extract+parse pandas UDFs over
+    the full pages scan, which at corpus scale is the dominant cost
+    (measured: the unpersisted plan carries four ArrowEvalPython+scan
+    subtrees). DISK_ONLY: measured ~50x faster to materialize than the
+    in-memory columnar cache on array-typed columns (the columnar build
+    dominates), and at cluster scale this is where a production job
+    would checkpoint to a staging table anyway.
     """
     template_map = spark.createDataFrame(
         config.template_map_rows(),
@@ -52,9 +54,10 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
 
     templates = P.extract_and_parse(pages, n_partitions=n_partitions, use_html=use_html)
     templates = P.resolve_subjects(templates, dims["sitelinks"])
-    # NB: templates is deliberately NOT persisted — the two mapping
-    # branches re-run the (cheap, fully parallel) extract+parse rather
-    # than paying a materialization barrier on the critical path
+    if persist:
+        # template rows are small (html/text already dropped at the
+        # parse stage) — persisting here is what keeps the parse single
+        templates = templates.persist(StorageLevel.DISK_ONLY)
     cands = M.map_parameters(templates, template_map, dims["template_redirects"])
     if persist:
         cands = cands.persist(StorageLevel.DISK_ONLY)

@@ -325,6 +325,42 @@ def c16_coalesce_fallback(spark, sf_dir):
     return c.groupBy(seg.alias("segment")).agg(F.count("*").alias("n"))
 
 
+# §2.6 C16b — write-side label merge (write_label/write_descriptions,
+# pywdcollections.py:1109-1137): add-if-missing always, fix-if-different
+# under the overwrite flag, keep otherwise.
+@_reg("c16b_label_merge", """
+WITH ex AS (SELECT n_nationkey AS qid, 'en' AS lang, n_name AS label FROM nation),
+inc AS (
+  SELECT n_nationkey AS qid, 'en' AS lang, lower(n_name) AS label
+  FROM nation WHERE n_nationkey < 15
+  UNION ALL
+  SELECT n_nationkey, 'fr', 'fr ' || n_name FROM nation WHERE n_nationkey < 15),
+m AS (
+  SELECT coalesce(ex.qid, inc.qid) AS qid, coalesce(ex.lang, inc.lang) AS lang,
+         ex.label AS l_old, inc.label AS l_new
+  FROM ex FULL OUTER JOIN inc ON ex.qid = inc.qid AND ex.lang = inc.lang)
+SELECT qid, lang,
+       CASE WHEN action = 'keep' THEN l_old ELSE l_new END AS label, action
+FROM (SELECT *, CASE WHEN l_old IS NULL THEN 'add'
+                     WHEN l_new IS NULL OR l_new = l_old THEN 'keep'
+                     ELSE 'fix' END AS action FROM m)
+""")
+def c16b_label_merge(spark, sf_dir):
+    from pywdcollections_spark.operators.promote import merge_labels
+    n = _t(spark, sf_dir, "nation")
+    existing = n.select(F.col("n_nationkey").alias("qid"),
+                        F.lit("en").alias("lang"), F.col("n_name").alias("label"))
+    small = n.filter(F.col("n_nationkey") < 15)
+    incoming = (small.select(F.col("n_nationkey").alias("qid"),
+                             F.lit("en").alias("lang"),
+                             F.lower("n_name").alias("label"))
+                .unionByName(small.select(
+                    F.col("n_nationkey").alias("qid"),
+                    F.lit("fr").alias("lang"),
+                    F.concat(F.lit("fr "), F.col("n_name")).alias("label"))))
+    return merge_labels(existing, incoming, overwrite=True)
+
+
 # §2.2 F3 — incremental change detection (left-anti on key+timestamp)
 @_reg("f3_incremental_changes", """
 SELECT e.event_id, e.user_id
@@ -366,7 +402,10 @@ def s1_transitive_closure(spark, sf_dir):
         frontier = step.exceptAll(reach).distinct()
         if frontier.isEmpty():
             break
-        reach = reach.unionByName(frontier).distinct()
+        # lineage cut per iteration (deep hierarchies would otherwise
+        # rebuild an O(depth²) plan — see operators.closure.descendants)
+        reach = reach.unionByName(frontier).distinct().localCheckpoint(eager=False)
+        frontier = frontier.localCheckpoint(eager=False)
     return reach
 
 
@@ -476,24 +515,72 @@ def dedup_simhash(spark, sf_dir):
                     simhash16(F.col("text")).cast("long").alias("simhash"))
 
 
+# SimHash near-dup pairs via pigeonhole Hamming banding: 4 bit-slices
+# of the 16-bit fingerprint; any pair within Hamming<=3 shares a slice.
+@_reg("dedup_simhash_hamming", f"""
+WITH f AS (SELECT doc_id AS doc, {_simhash_sql()} AS simhash
+           FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents WHERE doc_id < 300)),
+bands AS (
+  SELECT doc, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS bkey
+  FROM f, (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+  FROM cand)
+WHERE hamming <= 3
+""")
+def dedup_simhash_hamming(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (D.simhash_hamming_pairs(d, "doc_id", "text", bands=4, max_hamming=3)
+            .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")))
+
+
 _COS_SQL = ("ROUND(list_dot_product({a}, {b}) / "
             "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 4)")
 
 
-# embedding-cosine near-dup pairs
+def _bucket_sql(var: str, n_planes: int = 4, dim: int = 64,
+                offset: int = 0) -> str:
+    """Random-hyperplane sign bucket, the SQL twin of
+    operators.similarity.lsh_bucket (same deterministic planes)."""
+    bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(range(0, {dim}), d -> "
+        f"{var}[d+1] * ((((({offset + j})*1024 + d) * 2654435761) % 1000) / 499.5 - 1.0)), "
+        f"'sum') > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes))
+    return f"({bits})"
+
+
+# embedding-cosine near-dup pairs — LSH-bucketed candidates (equi join
+# per hash table, no cartesian node), cosine-verified. The oracle
+# reproduces the same two hyperplane families, so the check is exact.
 @_reg("dedup_embedding_cosine", f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           FROM embeddings WHERE vec_id < 200)
-SELECT * FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {_COS_SQL.format(a='a.v', b='b.v')} AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           FROM embeddings WHERE vec_id < 200),
+eb AS (SELECT vec_id, v,
+              {_bucket_sql('v', 4, 64, offset=0)} AS b0,
+              {_bucket_sql('v', 4, 64, offset=4)} AS b1
+       FROM e),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM eb a JOIN eb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM eb a JOIN eb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos FROM (
+  SELECT id_a, id_b, {_COS_SQL.format(a='ea.v', b='ez.v')} AS cos
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e ez ON ez.vec_id = id_b)
 WHERE cos >= 0.3
 """)
 def dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return D.embedding_cosine_pairs(e, "vec_id", "embedding",
-                                    threshold=0.3, max_id=200)
+    return D.embedding_lsh_cosine_pairs(e, "vec_id", "embedding",
+                                        threshold=0.3, n_planes=4, dim=64,
+                                        tables=2, max_id=200)
 
 
 # brute-force cosine top-k (similarity-search baseline)
@@ -519,25 +606,26 @@ def similarity_topk_bruteforce(spark, sf_dir):
                     "neighbor_id", "cos"))
 
 
-def _bucket_sql(var: str, n_planes: int = 4, dim: int = 64) -> str:
-    bits = " + ".join(
-        f"(CASE WHEN list_aggregate(list_transform(range(0, {dim}), d -> "
-        f"{var}[d+1] * (((({j}*1024 + d) * 2654435761) % 1000) / 499.5 - 1.0)), "
-        f"'sum') > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(n_planes))
-    return f"({bits})"
+# LSH-bucketed approximate top-k with multi-probe (the scale path):
+# corpus carries ONE 8-plane bucket; each query probes its bucket plus
+# all 8 one-bit neighbors (recall@5 = 0.96 on planted near-dups while
+# scanning ~9% of the corpus — tests/test_similarity_recall.py).
+_PROBE_MASKS = [0] + [1 << i for i in range(8)]
 
 
-# LSH-bucketed approximate top-k (the scale path)
 @_reg("similarity_topk_lsh", f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
            FROM embeddings WHERE vec_id < 300),
-eb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+eb AS (SELECT vec_id, v, {_bucket_sql('v', 8, 64)} AS bucket FROM e),
 q AS (SELECT vec_id, v, bucket FROM eb WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT vec_id, v,
+         unnest(list_transform({_PROBE_MASKS}, m -> xor(bucket, m::BIGINT))) AS bucket
+  FROM q),
 scored AS (
-  SELECT q.vec_id AS query_id, eb.vec_id AS neighbor_id,
-         {_COS_SQL.format(a='q.v', b='eb.v')} AS cos
-  FROM q JOIN eb ON q.bucket = eb.bucket AND q.vec_id <> eb.vec_id)
+  SELECT p.vec_id AS query_id, eb.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.v', b='eb.v')} AS cos
+  FROM probes p JOIN eb ON p.bucket = eb.bucket AND p.vec_id <> eb.vec_id)
 SELECT query_id, rank, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rank
@@ -548,7 +636,7 @@ def similarity_topk_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     q = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
     return (SIM.lsh_bucketed_topk(e, q, "vec_id", "embedding",
-                                  k=5, n_planes=4, dim=64)
+                                  k=5, n_planes=8, dim=64, probe_flips=1)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "neighbor_id", "cos"))
 
@@ -656,13 +744,40 @@ def kg_harvest_fixture(spark, sf_dir):
     return build_kg(spark, pages, demo_config(), dims)["triples"]
 
 
+# Multimodal feature extraction. The synthetic payload is a pure
+# function of media_id (testable plumbing; real codecs stubbed), so the
+# oracle recomputes header dims + chunk means from range(64) directly —
+# no table needed. The array<float> feature column is serialized to a
+# fixed-format csv so the driver's canonicalization can hash it.
+@_reg("multimodal_features", """
+WITH m AS (SELECT range AS i FROM range(64)),
+f AS (
+  SELECT i,
+         array_to_string(list_transform(range(0, 8), c ->
+           printf('%.4f', ROUND(
+             list_aggregate(list_transform(range(c*8, c*8+8), j -> (i*j) % 251),
+                            'sum') / 8.0, 4))), ',') AS feature_csv
+  FROM m)
+SELECT i AS media_id, 'image' AS kind,
+       CAST(((i >> 8) & 255) * 256 + (i & 255) AS BIGINT)       AS height,
+       CAST(((i*3) & 255) * 256 + ((i*7) & 255) AS BIGINT)      AS width,
+       CAST(68 AS BIGINT) AS n_bytes, feature_csv
+FROM m JOIN f USING (i)
+""")
 def multimodal_features(spark, sf_dir):
     """Binary media column plumbing (decode core stubbed — no codecs in
-    the container; Spark-side schema/batching is real)."""
+    the container; Spark-side schema/batching/vectorization is real)."""
     from pywdcollections_spark.operators.multimodal import (
         extract_media_features, synthetic_media)
-    return extract_media_features(synthetic_media(spark, 64))
+    feats = extract_media_features(synthetic_media(spark, 64))
+    return feats.select(
+        "media_id", "kind",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        "n_bytes",
+        F.concat_ws(",", F.transform(
+            "feature",
+            lambda x: F.format_string("%.4f", x.cast("double")))).alias("feature_csv"))
 
 
 QUERIES["kg_harvest_fixture"] = kg_harvest_fixture
-QUERIES["multimodal_features"] = multimodal_features

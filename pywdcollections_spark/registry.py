@@ -135,17 +135,10 @@ def validator_rows() -> list[dict]:
     return rows
 
 
-# Provenance: wiki site-id -> site QID (shape of pywdcollections.py:605-936;
-# the full ~330-site map is public Wikidata data — we carry the sites the
-# fixtures exercise, and the dim-table join works for any superset).
-SOURCE_SITES: dict[str, int] = {
-    "enwiki": 328,
-    "frwiki": 8447,
-    "dewiki": 48183,
-    "commonswiki": 565,
-    "eswiki": 8449,
-    "itwiki": 11920,
-}
+# Provenance: wiki site-id -> site QID. The full ~330-site map (public
+# Wikidata data mirroring pywdcollections.py:605-936) lives in the
+# sources_data data module; re-exported here for the dim-table build.
+from pywdcollections_spark.sources_data import SOURCE_SITES  # noqa: E402
 
 
 def source_rows() -> list[dict]:

@@ -1,17 +1,23 @@
-"""Table sinks: last-wins MERGE semantics over parquet.
+"""Table sinks: last-wins MERGE semantics behind a swappable interface.
 
 The reference's four SQLite tables all use ``ON CONFLICT REPLACE``
 upserts (pywdcollections.py:47-50,165,181,184,188,410-411). On a lake
-this is Iceberg ``MERGE INTO``; this sandbox has no Iceberg runtime,
-so the same semantics are implemented as set operations + an
-overwrite, which is also the portable fallback. The write unit stays
-partition-atomic (parquet directory swap), matching the per-bucket
-commit discipline of plans.checkpoint.
+that is Iceberg ``MERGE INTO``; this sandbox has no Iceberg runtime,
+so the production swap-in is a CONFIG choice, not a rewrite: both
+backends implement the same ``UpsertSink`` interface and
+``get_sink(spark, kind=...)`` selects one.
+
+ * ``ParquetUpsertSink`` — set-operation merge + partition-atomic
+   overwrite (the portable fallback; fully tested in-sandbox).
+ * ``IcebergUpsertSink`` — emits a single ``MERGE INTO`` per upsert
+   (row-level merge-on-read at cluster scale; requires an Iceberg
+   catalog on the session, which this sandbox lacks — construction
+   fails fast with a clear error, the SQL shape is unit-tested).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -31,3 +37,93 @@ def write_atomic(df: DataFrame, path: str, partition_by: list[str] | None = None
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+class UpsertSink:
+    """Last-wins upsert of ``updates`` into a target table."""
+
+    def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
+        raise NotImplementedError
+
+    def read(self) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetUpsertSink(UpsertSink):
+    """Portable backend: read-merge-overwrite on a parquet directory.
+    The write unit stays partition-atomic (directory swap), matching
+    the per-bucket commit discipline of plans.checkpoint."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 partition_by: list[str] | None = None):
+        self.spark, self.path, self.partition_by = spark, path, partition_by
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        deduped = (updates.withColumn("_rn", F.row_number().over(w))
+                   .filter("_rn = 1").drop("_rn"))
+        try:
+            existing = self.read()
+        except Exception:       # first write: no target yet
+            write_atomic(deduped, self.path, self.partition_by)
+            return
+        merged = merge_last_wins(existing, updates, keys, order_col)
+        # materialize before overwriting the path the plan reads from
+        write_atomic(merged.localCheckpoint(), self.path, self.partition_by)
+
+
+def iceberg_merge_sql(table: str, keys: list[str], columns: list[str],
+                      order_col: str, source_view: str = "_updates") -> str:
+    """The MERGE INTO statement the Iceberg backend runs — one
+    statement per commit, row-level upsert, last-wins via the
+    pre-deduplicated source (ON CONFLICT REPLACE analogue)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (f"MERGE INTO {table} t USING {source_view} s ON {on} "
+            f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})")
+
+
+class IcebergUpsertSink(UpsertSink):
+    """Iceberg MERGE INTO backend (SURVEY.md §1.4 K1 mapping). Needs an
+    Iceberg catalog configured on the SparkSession; the sandbox has
+    none, so construction verifies the catalog and fails fast — in
+    production this is enabled purely by config (catalog conf + sink
+    kind), with no engine-code change."""
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark, self.table = spark, table
+        try:
+            spark.sql(f"DESCRIBE TABLE {table}").collect()
+        except Exception as exc:  # pragma: no cover - no Iceberg in sandbox
+            raise RuntimeError(
+                f"Iceberg table {table!r} not reachable — configure an "
+                "Iceberg catalog (spark.sql.catalog.*) and create the "
+                "table, or select the parquet sink") from exc
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
+        # dedupe the batch first so MERGE sees one row per key
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        batch = (updates.withColumn("_rn", F.row_number().over(w))
+                 .filter("_rn = 1").drop("_rn"))
+        batch.createOrReplaceTempView("_updates")
+        self.spark.sql(iceberg_merge_sql(
+            self.table, keys, batch.columns, order_col))
+
+
+def get_sink(spark: SparkSession, kind: str = "parquet", **kwargs) -> UpsertSink:
+    """Sink selection is configuration: 'parquet' (portable, default)
+    or 'iceberg' (production lake)."""
+    if kind == "parquet":
+        return ParquetUpsertSink(spark, **kwargs)
+    if kind == "iceberg":
+        return IcebergUpsertSink(spark, **kwargs)
+    raise ValueError(f"unknown sink kind {kind!r}")

@@ -280,8 +280,12 @@ def page_spec(seed: int, i: int, n_pages: int, head_templates: int = 200) -> dic
                     params.append(f"graves=about {g}")  # int-parse fails at validation
                     saves.append(("P2971", f"about {g}"))
                 else:
-                    params.append(f"graves={g}")
-                    saves.append(("P2971", str(g)))
+                    # int() accepts digit-group underscores ('12_345') —
+                    # the reference gate is literally int(value)
+                    # (pywdcollections.py:1182-1185), so these pass
+                    gs = f"{g:_}" if g >= 1000 and rng.random() < 0.25 else str(g)
+                    params.append(f"graves={gs}")
+                    saves.append(("P2971", gs))
             if rng.random() < 0.2:
                 d = "".join(rng.choice("abcd") for _ in range(rng.choice([3, 4, 5])))
                 params.append(f"diocese_id={d}")

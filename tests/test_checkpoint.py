@@ -58,3 +58,42 @@ def test_interrupted_run_resumes_identically(spark, env, tmp_path_factory):
     lin = spark.read.parquet(f"{part_dir}/lineage")
     assert lin.select("bucket").distinct().count() == r2["n_buckets"]
     assert lin.agg(F.sum("n_pages")).first()[0] == N
+
+
+def test_crash_inside_data_lineage_window_no_duplicates(spark, env, tmp_path_factory):
+    """Kill AFTER a group's data write but BEFORE its lineage commit:
+    the re-run must replace that group's bucket partitions (dynamic
+    partition overwrite), not append them a second time."""
+    pages, dims = env
+    full_dir = str(tmp_path_factory.mktemp("full2"))
+    crash_dir = str(tmp_path_factory.mktemp("crash"))
+
+    run_with_checkpoint(spark, pages, demo_config(), dims, full_dir)
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_with_checkpoint(spark, pages, demo_config(), dims, crash_dir,
+                            fail_before_lineage=1)  # group 0 committed, group 1 data-only
+    # group 1's data is on disk but unrecorded; resume must not duplicate it
+    r = run_with_checkpoint(spark, pages, demo_config(), dims, crash_dir)
+    assert r["buckets_done"] == r["n_buckets"]
+
+    a = _triples(spark, full_dir)
+    b = _triples(spark, crash_dir)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_zero_page_buckets_get_lineage_rows(spark, env, tmp_path_factory):
+    """Sparse input: buckets with no pages must still be marked done,
+    so a re-run is a no-op (idempotent-third-run property)."""
+    pages, dims = env
+    out_dir = str(tmp_path_factory.mktemp("sparse"))
+    sparse = pages.limit(5)   # 16 buckets, ~5 occupied
+
+    r1 = run_with_checkpoint(spark, sparse, demo_config(), dims, out_dir)
+    assert r1["buckets_done"] == r1["n_buckets"]
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    assert lin.select("bucket").distinct().count() == r1["n_buckets"]
+
+    r2 = run_with_checkpoint(spark, sparse, demo_config(), dims, out_dir)
+    assert r2["groups_processed"] == 0

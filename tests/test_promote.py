@@ -87,3 +87,30 @@ def test_seed_filter(spark):
     got2 = sorted(r["qid"] for r in
                   seed_filter(entities, p31, edges, 10, country=600000).collect())
     assert got2 == ["Q100"]
+
+
+def test_merge_labels_both_flags(spark):
+    from pywdcollections_spark.operators.promote import merge_labels
+    existing = spark.createDataFrame(
+        [("Q1", "en", "Old"), ("Q1", "fr", "Vieux"), ("Q2", "en", "Same")],
+        "qid string, lang string, label string")
+    incoming = spark.createDataFrame(
+        [("Q1", "en", "New"),        # differs -> fix iff overwrite
+         ("Q2", "en", "Same"),       # identical -> keep
+         ("Q2", "de", "Neu")],       # missing lang -> add (always)
+        "qid string, lang string, label string")
+
+    def got(overwrite):
+        return {(r["qid"], r["lang"]): (r["label"], r["action"])
+                for r in merge_labels(existing, incoming, overwrite).collect()}
+
+    no = got(False)
+    assert no[("Q1", "en")] == ("Old", "keep")     # overwrite off: keep old
+    assert no[("Q1", "fr")] == ("Vieux", "keep")   # not in incoming
+    assert no[("Q2", "en")] == ("Same", "keep")
+    assert no[("Q2", "de")] == ("Neu", "add")      # add-if-missing always
+    yes = got(True)
+    assert yes[("Q1", "en")] == ("New", "fix")     # overwrite-if-different
+    assert yes[("Q1", "fr")] == ("Vieux", "keep")
+    assert yes[("Q2", "en")] == ("Same", "keep")   # identical never 'fix'
+    assert yes[("Q2", "de")] == ("Neu", "add")

@@ -1,0 +1,73 @@
+"""ANN quality gate: recall@5 of the multi-probe LSH path vs exact
+brute force on the sf0.01 embeddings with planted near-neighbors.
+
+Uniformly random vectors have no near neighbors (fixture top-1 cosine
+~0.37, theta ~68 deg), where no sublinear method can beat a linear
+scan; the standard ANN-benchmark methodology plants near-duplicates
+and measures recall on those. Five noisy copies (cos ~0.99) of each
+query vector are appended to the corpus; brute-force top-5 is then
+dominated by the planted neighbors and the 8-plane / 1-flip-multiprobe
+LSH path must retrieve >=90% of them while probing 9 of 256 buckets
+(~9% of the corpus per query, measured)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+NQ, COPIES = 25, 5
+
+
+@pytest.fixture(scope="module")
+def corpus_and_queries(spark):
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(7)
+    src = np.repeat(V[:NQ], COPIES, axis=0)
+    noise = rng.randn(NQ * COPIES, V.shape[1])
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    planted = src + 0.15 * np.linalg.norm(src, axis=1, keepdims=True) * noise
+    rows = [(int(emb["vec_id"][i]), [float(x) for x in V[i]])
+            for i in range(len(V))]
+    rows += [(100_000 + i, [float(x) for x in planted[i]])
+             for i in range(len(planted))]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < NQ)
+    return corpus, queries
+
+
+def _topk_sets(df) -> dict[int, set[int]]:
+    pdf = df.toPandas()
+    return {int(q): set(grp["neighbor_id"].astype(int))
+            for q, grp in pdf.groupby("query_id")}
+
+
+def test_lsh_multiprobe_recall_at_5(spark, corpus_and_queries):
+    corpus, queries = corpus_and_queries
+    exact = _topk_sets(brute_force_topk(corpus, queries, "vec_id", "embedding", k=5))
+    approx = _topk_sets(lsh_bucketed_topk(
+        corpus, queries, "vec_id", "embedding",
+        k=5, n_planes=8, dim=64, probe_flips=1))
+    assert len(exact) == NQ
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (5 * NQ)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
+def test_two_bit_probing_strictly_widens(spark, corpus_and_queries):
+    """flips=2 candidates are a superset of flips=1 (monotone probing)."""
+    corpus, queries = corpus_and_queries
+    one = _topk_sets(lsh_bucketed_topk(corpus, queries, "vec_id", "embedding",
+                                       k=5, n_planes=8, dim=64, probe_flips=1))
+    two = _topk_sets(lsh_bucketed_topk(corpus, queries, "vec_id", "embedding",
+                                       k=5, n_planes=8, dim=64, probe_flips=2))
+    exact = _topk_sets(brute_force_topk(corpus, queries, "vec_id", "embedding", k=5))
+    r1 = sum(len(exact[q] & one.get(q, set())) for q in exact)
+    r2 = sum(len(exact[q] & two.get(q, set())) for q in exact)
+    assert r2 >= r1

@@ -1,0 +1,56 @@
+"""UpsertSink interface: the parquet backend end-to-end, the Iceberg
+backend's MERGE INTO shape + fail-fast (no catalog in this sandbox —
+production swap-in is configuration, sources/sinks.py docstring)."""
+
+import pytest
+
+from pywdcollections_spark.sources.sinks import (
+    IcebergUpsertSink,
+    ParquetUpsertSink,
+    get_sink,
+    iceberg_merge_sql,
+)
+
+
+def test_parquet_sink_last_wins_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "claims")
+    sink = get_sink(spark, "parquet", path=path)
+    assert isinstance(sink, ParquetUpsertSink)
+
+    b1 = spark.createDataFrame(
+        [("Q1", "P17", "old", 1), ("Q2", "P17", "keep", 5)],
+        "subj string, pred string, obj string, ts long")
+    sink.upsert(b1, keys=["subj", "pred"], order_col="ts")
+
+    b2 = spark.createDataFrame(
+        [("Q1", "P17", "new", 2),     # higher ts -> replaces
+         ("Q2", "P17", "stale", 3),   # lower ts -> loses
+         ("Q3", "P17", "ins", 1)],    # new key -> inserted
+        "subj string, pred string, obj string, ts long")
+    sink.upsert(b2, keys=["subj", "pred"], order_col="ts")
+
+    got = {r["subj"]: (r["obj"], r["ts"]) for r in sink.read().collect()}
+    assert got == {"Q1": ("new", 2), "Q2": ("keep", 5), "Q3": ("ins", 1)}
+
+
+def test_parquet_sink_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "claims")
+    sink = get_sink(spark, "parquet", path=path)
+    b = spark.createDataFrame([("Q1", "v", 1)], "k string, v string, ts long")
+    sink.upsert(b, keys=["k"], order_col="ts")
+    sink.upsert(b, keys=["k"], order_col="ts")   # REPLACE semantics
+    assert sink.read().count() == 1
+
+
+def test_iceberg_merge_sql_shape():
+    sql = iceberg_merge_sql("lake.kg.claims", ["subj", "pred"],
+                            ["subj", "pred", "obj", "ts"], "ts")
+    assert sql.startswith("MERGE INTO lake.kg.claims t USING _updates s")
+    assert "ON t.subj = s.subj AND t.pred = s.pred" in sql
+    assert "WHEN MATCHED AND s.ts >= t.ts THEN UPDATE SET t.obj = s.obj, t.ts = s.ts" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (subj, pred, obj, ts)" in sql
+
+
+def test_iceberg_sink_fails_fast_without_catalog(spark):
+    with pytest.raises(RuntimeError, match="Iceberg"):
+        IcebergUpsertSink(spark, "no_catalog.db.tbl")

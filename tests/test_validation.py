@@ -50,3 +50,25 @@ def test_rejects_match_golden(spark, outputs):
         print("MISSING:"); missing.show(30, truncate=80)
         print("EXTRA:"); extra.show(30, truncate=80)
     assert nm == 0 and ne == 0
+
+
+def test_full_sources_map_provenance(spark):
+    """Any wiki site — not just the fixture's en/fr/de — resolves a
+    site_qid through the provenance join (the reference's ~330-row
+    sources map, pywdcollections.py:605-936)."""
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.registry import SOURCE_SITES, source_rows
+
+    rows = source_rows()
+    assert len(rows) == 330
+    src = spark.createDataFrame(rows, "site string, site_qid long") \
+               .select(F.col("site").alias("source"), "site_qid")
+    triples = spark.createDataFrame(
+        [("Q1", "P373", "eswiki"), ("Q2", "P373", "itwiki"),
+         ("Q3", "P373", "jawiki"), ("Q4", "P373", "be_x_oldwiki")],
+        "subj string, pred string, source string")
+    got = {r["source"]: r["site_qid"]
+           for r in triples.join(src, "source", "left").collect()}
+    assert got == {"eswiki": 8449, "itwiki": 11920,
+                   "jawiki": 177837, "be_x_oldwiki": 8937989}
+    assert SOURCE_SITES["enwiki"] == 328
