@@ -31,7 +31,10 @@ HEADLINE = [
     "a5_last_wins_upsert",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash_hamming",
     "similarity_topk_bruteforce",
+    "similarity_topk_lsh",
     "text_token_counts",
     "text_fingerprint",
 ]

@@ -1,0 +1,45 @@
+"""Date datatype coercion — a DOCUMENTED DEVIATION extension.
+
+The reference's write_prop has no date writer: DATE_PROPS values fall
+through the dispatch and are dropped (pywdcollections.py:1084-1085),
+which the default pipeline mirrors as 'writer_not_implemented'
+(operators/validate.py). This module is the SURVEY.md §1.2 extension —
+``timestamp + precision flag`` (Wikidata precision codes: 9=year,
+10=month, 11=day) — offered as an OPT-IN coercion so users who want
+real date claims can promote them without breaking reference parity.
+
+Pure built-in expressions (whole-stage codegen; no Python crossing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PRECISION_YEAR, PRECISION_MONTH, PRECISION_DAY = 9, 10, 11
+
+
+def flexible_date(col: Column) -> Column:
+    """Parse 'YYYY' | 'YYYY-MM' | 'YYYY-MM-DD' (reference harvests all
+    three shapes from established/date params) into a
+    struct(ts timestamp, precision int); NULL fields when unparseable."""
+    s = F.trim(col)
+    is_y = s.rlike(r"^\d{4}$")
+    is_ym = s.rlike(r"^\d{4}-(0[1-9]|1[0-2])$")
+    is_ymd = s.rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$")
+    ts = (F.when(is_y, F.to_timestamp(F.concat(s, F.lit("-01-01"))))
+           .when(is_ym, F.to_timestamp(F.concat(s, F.lit("-01"))))
+           .when(is_ymd, F.to_timestamp(s)))
+    prec = (F.when(is_y, F.lit(PRECISION_YEAR))
+             .when(is_ym, F.lit(PRECISION_MONTH))
+             .when(is_ymd, F.lit(PRECISION_DAY)))
+    return F.struct(ts.alias("ts"), prec.alias("precision"))
+
+
+def coerce_date_triples(staged) -> "F.DataFrame":
+    """Opt-in promotion of date-family staged rows: adds ts/precision
+    columns (NULL ts => still unpromotable, like the reference)."""
+    fd = flexible_date(F.col("obj_raw"))
+    return (staged.filter(F.col("datatype") == "date")
+            .withColumn("ts", fd["ts"])
+            .withColumn("precision", fd["precision"]))

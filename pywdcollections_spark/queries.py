@@ -313,6 +313,39 @@ def c4_date_age_buckets(spark, sf_dir):
             .agg(F.count("*").alias("n")))
 
 
+# §2.6 C3b — flexible date coercion to timestamp + Wikidata precision
+# code (9/10/11). Opt-in extension (operators/dates.py docstring): the
+# default pipeline still mirrors the reference's date fallthrough.
+@_reg("c3b_date_precision", """
+SELECT o_orderkey, ds AS date_str,
+       strftime(CASE WHEN length(ds) = 4  THEN strptime(ds, '%Y')
+                     WHEN length(ds) = 7  THEN strptime(ds, '%Y-%m')
+                     ELSE strptime(ds, '%Y-%m-%d') END,
+                '%Y-%m-%d %H:%M:%S') AS ts_str,
+       CAST(CASE length(ds) WHEN 4 THEN 9 WHEN 7 THEN 10 ELSE 11 END AS BIGINT)
+         AS precision
+FROM (SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m')
+               ELSE strftime(o_orderdate, '%Y-%m-%d') END AS ds
+      FROM orders)
+""")
+def c3b_date_precision(spark, sf_dir):
+    from pywdcollections_spark.operators.dates import flexible_date
+    o = _t(spark, sf_dir, "orders")
+    mod = F.col("o_orderkey") % 3
+    ds = (F.when(mod == 0, F.date_format("o_orderdate", "yyyy"))
+           .when(mod == 1, F.date_format("o_orderdate", "yyyy-MM"))
+           .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
+    fd = flexible_date(F.col("date_str"))
+    return (o.select("o_orderkey", ds.alias("date_str"))
+            .withColumn("fd", fd)
+            .select("o_orderkey", "date_str",
+                    F.date_format("fd.ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+                    F.col("fd.precision").cast("long").alias("precision")))
+
+
 # §2.6 C16 — coalesce fallback chain
 @_reg("c16_coalesce_fallback", """
 SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'fallback') AS segment,

@@ -17,6 +17,8 @@ backends implement the same ``UpsertSink`` interface and
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,35 @@ def write_atomic(df: DataFrame, path: str, partition_by: list[str] | None = None
     w.parquet(path)
 
 
+def compact_parquet(spark: SparkSession, path: str, target_file_mb: int = 128,
+                    partition_by: list[str] | None = None) -> tuple[int, int]:
+    """K4 table maintenance — the reference's cache VACUUM
+    (pywdcollections.py:532-533) re-expressed for a lake: rewrite a
+    fragmented parquet directory into ~target-size files (the
+    small-files problem after many incremental bucket commits), with an
+    atomic directory swap. At 100 TB this is Iceberg
+    ``rewrite_data_files`` (IcebergUpsertSink.maintain); this is the
+    portable parquet fallback. Returns (files_before, files_after)."""
+    import glob
+    import math
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    df = (df.repartition(n_out, *partition_by) if partition_by
+          else df.repartition(n_out))
+    tmp = path.rstrip("/") + ".compacting"
+    write_atomic(df, tmp, partition_by)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(files), n_out
+
+
 class UpsertSink:
     """Last-wins upsert of ``updates`` into a target table."""
 
@@ -46,6 +77,10 @@ class UpsertSink:
         raise NotImplementedError
 
     def read(self) -> DataFrame:
+        raise NotImplementedError
+
+    def maintain(self) -> None:
+        """K4: compaction / file maintenance. Optional."""
         raise NotImplementedError
 
 
@@ -60,6 +95,9 @@ class ParquetUpsertSink(UpsertSink):
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def maintain(self, target_file_mb: int = 128) -> None:
+        compact_parquet(self.spark, self.path, target_file_mb, self.partition_by)
 
     def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
@@ -108,6 +146,11 @@ class IcebergUpsertSink(UpsertSink):
 
     def read(self) -> DataFrame:
         return self.spark.table(self.table)
+
+    def maintain(self) -> None:  # pragma: no cover - needs Iceberg catalog
+        catalog = self.table.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{self.table}')")
 
     def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
         # dedupe the batch first so MERGE sees one row per key

@@ -54,3 +54,22 @@ def test_iceberg_merge_sql_shape():
 def test_iceberg_sink_fails_fast_without_catalog(spark):
     with pytest.raises(RuntimeError, match="Iceberg"):
         IcebergUpsertSink(spark, "no_catalog.db.tbl")
+
+
+def test_parquet_sink_maintain_compacts_small_files(spark, tmp_path):
+    """K4: a fragmented table (many incremental commits) compacts to
+    ~target-size files with identical contents."""
+    import glob
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(path)
+    before = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(before) == 40
+
+    sink = ParquetUpsertSink(spark, path)
+    sink.maintain(target_file_mb=128)
+    after = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(after) == 1                       # 10k longs << 128 MB
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
