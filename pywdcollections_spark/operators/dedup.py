@@ -45,25 +45,40 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_freq: int | None = None) -> DataFrame:
     """Exact pairwise Jaccard over word-n-gram shingle SETS via a
     shingle-explode self-join (no cartesian product: only pairs sharing
-    at least one shingle are generated)."""
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(F.array_distinct(word_shingles(F.col(text_col), n)))
-                     .alias("shingle")))
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc") < F.col("b.doc")))
-             .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+    at least one shingle are generated).
+
+    ``max_shingle_freq`` drops shingles occurring in more than that
+    many docs from CANDIDATE GENERATION (a hot shingle like 'of the'
+    makes the self-join quadratic in its doc-frequency); sizes and the
+    intersection count still use the full shingle sets, so Jaccard
+    values stay exact — only pairs whose every common shingle is hot
+    can be missed. At corpus scale prefer minhash_lsh_pairs."""
+    docs = (df.select(F.col(id_col).alias("doc"),
+                      F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
+            .filter(F.size("sh") > 0))
+    sh = docs.select("doc", F.explode("sh").alias("shingle"))
+    cand_sh = sh
+    if max_shingle_freq is not None:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_shingle_freq).select("shingle"))
+        cand_sh = sh.join(rare, "shingle")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc") < F.col("b.doc")))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+            .join(docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+                  "doc_a")
+            .join(docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+                  "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.withColumn("jaccard", F.round(inter / union, 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 

@@ -62,15 +62,33 @@ def simhash16(col: Column) -> Column:
     return fp
 
 
-def rolling_fingerprint(col: Column, mod: int = 1_000_000_007) -> Column:
+def rolling_fingerprint(col: Column, mod: int = 1_000_000_007,
+                        block: int = 4096) -> Column:
     """Polynomial rolling hash over the code points of the normalized
     text (lowercased, whitespace collapsed) — a document fingerprint
-    whose SQL twin is list_reduce over string_split."""
+    whose SQL twin is list_reduce over string_split.
+
+    Computed BLOCK-WISE: each ``block``-char substring folds to
+    (h_i, 31^len_i mod p) and blocks combine as acc*m_i + h_i — the
+    same value as one char-by-char fold, but the transient per-row
+    state is one block's char array instead of a whole-document array
+    (MB-size docs would otherwise hold a million-element array per row
+    inside the aggregate)."""
     norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-    chars = F.split(norm, "")
-    return F.aggregate(
-        chars, F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % mod)
+    n_blocks = F.greatest(F.ceil(F.length(norm) / F.lit(block)), F.lit(1)) \
+                .cast("int")
+
+    def fold_block(i):
+        chars = F.split(norm.substr(i * block + 1, F.lit(block)), "")
+        zero = F.struct(F.lit(0).cast("long").alias("h"),
+                        F.lit(1).cast("long").alias("m"))
+        return F.aggregate(chars, zero, lambda acc, c: F.struct(
+            ((acc["h"] * 31 + F.ascii(c)) % mod).alias("h"),
+            ((acc["m"] * 31) % mod).alias("m")))
+
+    parts = F.transform(F.sequence(F.lit(0), n_blocks - 1), fold_block)
+    return F.aggregate(parts, F.lit(0).cast("long"),
+                       lambda acc, p: (acc * p["m"] + p["h"]) % mod)
 
 
 def cosine(a: Column, b: Column, scale: int = 4) -> Column:

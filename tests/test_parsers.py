@@ -144,3 +144,28 @@ class TestValidators:
     def test_category_cleanup(self):
         assert clean_category_title("Category:Foo {bar}") == "Foo bar"
         assert clean_category_title("a::b") == "a:b"
+
+
+def test_blocked_fingerprint_matches_char_fold(spark):
+    """Block-wise rolling hash == plain char-by-char fold, including
+    docs longer than the block size and short/1-char docs."""
+    import random as _r
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.operators.textops import rolling_fingerprint
+    rng = _r.Random(3)
+    texts = ["a", "ab c", "x" * 5000,
+             " ".join("w%d" % rng.randrange(50) for _ in range(3000))]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+
+    def py_fp(t, mod=1_000_000_007):
+        import re
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % mod
+        return h
+
+    got = {r["i"]: r["fp"] for r in
+           df.select("i", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got == {i: py_fp(t) for i, t in enumerate(texts)}

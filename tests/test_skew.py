@@ -53,3 +53,24 @@ def test_salted_last_wins_tie_break_deterministic(spark):
     out = salted_last_wins(df, ["subj", "source", "pred"],
                            ["template_idx", "param_idx"], ["obj_raw"])
     assert out.collect()[0]["obj_raw"] == "b"
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Capping shingle doc-frequency prunes candidate pairs whose only
+    common shingles are hot, keeps exact Jaccard for survivors."""
+    from pywdcollections_spark.operators.dedup import ngram_jaccard_pairs
+    rows = [(i, f"of the unique{i} token{i}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.01,
+                                 max_shingle_freq=5)
+    fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()}
+    cp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # 'of the' links all 20 head docs pairwise in the uncapped join...
+    assert sum(1 for (x, y) in fp if x < 20 and y < 20) == 190
+    # ...and the cap removes every pair that shared only the hot shingle
+    assert not any(x < 20 and y < 20 for (x, y) in cp)
+    # the genuine near-dup pair survives with the IDENTICAL exact score
+    assert cp[(100, 101)] == fp[(100, 101)] > 0.3
