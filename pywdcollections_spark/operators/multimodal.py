@@ -107,6 +107,84 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             .mapInPandas(run, schema=FEATURE_SCHEMA))
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("offset", T.LongType()),       # byte offset into payload
+    T.StructField("frame_bytes", T.IntegerType()),
+    T.StructField("mean", T.DoubleType()),       # per-frame byte mean
+])
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 8, stride: int = 2,
+                  header: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video-ish payloads: the body after
+    ``header`` is treated as fixed-size frame records and every
+    ``stride``-th frame is emitted with its byte statistics. A real
+    deployment decodes frames with ffmpeg here (not in this container —
+    same stub policy as _decode_image); the Spark side — schema, Arrow
+    batching, vectorized numpy slicing, per-media partitioning — is
+    real and oracle-checked (queries.multimodal_frame_sample)."""
+    cols = [f.name for f in FRAME_SCHEMA]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames_out = []
+            by_len: dict[int, list[int]] = {}
+            arrs = [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
+            for row_i, a in enumerate(arrs):
+                if a.size >= header + frame_bytes:
+                    by_len.setdefault(a.size, []).append(row_i)
+            for size, idxs in by_len.items():
+                m = np.stack([arrs[i] for i in idxs]).astype(np.int64)
+                body = m[:, header:]
+                n_frames = body.shape[1] // frame_bytes
+                fr = body[:, :n_frames * frame_bytes] \
+                    .reshape(len(idxs), n_frames, frame_bytes)
+                means = np.round(fr.mean(axis=2), 4)       # (g, n_frames)
+                sel = np.arange(0, n_frames, stride)
+                mids = pdf["media_id"].to_numpy()[idxs]
+                for k in sel:
+                    frames_out.append(pd.DataFrame({
+                        "media_id": mids,
+                        "frame_idx": np.int32(k),
+                        "offset": np.int64(header + k * frame_bytes),
+                        "frame_bytes": np.int32(frame_bytes),
+                        "mean": means[:, k],
+                    }))
+            yield (pd.concat(frames_out, ignore_index=True)[cols] if frames_out
+                   else pd.DataFrame(columns=cols))
+
+    return (media.repartition(F.col("media_id"))
+            .mapInPandas(run, schema=FRAME_SCHEMA))
+
+
+def resize_media(media: DataFrame, max_body_bytes: int = 16,
+                 header: int = 4) -> DataFrame:
+    """Resize/decimate plumbing: the payload body is downsampled to at
+    most ``max_body_bytes`` by taking every k-th byte (k =
+    ceil(body/max)) — the deterministic stand-in for a real image
+    resize (Pillow, stubbed per module policy). Output keeps the
+    MEDIA_SCHEMA shape so it composes with extract_media_features."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                head, body = a[:header], a[header:]
+                if body.size > max_body_bytes:
+                    k = int(np.ceil(body.size / max_body_bytes))
+                    body = body[::k]
+                outs.append(np.concatenate([head, body]).tobytes())
+            out = pdf.copy()
+            out["payload"] = outs
+            out["meta"] = [{**m, "n_bytes": len(b)}
+                           for m, b in zip(pdf["meta"], outs)]
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benches."""
     def gen(batches):

@@ -674,6 +674,47 @@ def similarity_topk_lsh(spark, sf_dir):
                     "neighbor_id", "cos"))
 
 
+# IVF approximate top-k: corpus partitioned by nearest centroid (the
+# 16 lowest-id vectors — deterministic; production trains k-means),
+# queries probe their 4 nearest cells.
+@_reg("similarity_topk_ivf", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+cent AS (SELECT vec_id AS cent_id, v AS centv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.centv')} DESC,
+                                       c.cent_id) AS rn
+    FROM e, cent c) WHERE rn = 1),
+q AS (SELECT vec_id, v FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL.format(a='q.v', b='c.centv')} DESC,
+                                       c.cent_id) AS rn
+    FROM q, cent c) WHERE rn <= 4),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.v', b='a.v')} AS cos
+  FROM probes p JOIN asg a ON p.cell = a.cell AND p.vec_id <> a.vec_id)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
+def similarity_topk_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    return (SIM.ivf_topk(e, q, "vec_id", "embedding",
+                         k=5, n_centroids=16, n_probe=4)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos"))
+
+
 # language-ID heuristic
 @_reg("text_langid", f"""
 WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
@@ -811,6 +852,29 @@ def multimodal_features(spark, sf_dir):
         F.concat_ws(",", F.transform(
             "feature",
             lambda x: F.format_string("%.4f", x.cast("double")))).alias("feature_csv"))
+
+
+# Frame-sampling plumbing over the same deterministic payloads: body
+# byte j of media i is (i*j)%251, frames are 8-byte records, stride 2.
+@_reg("multimodal_frame_sample", """
+WITH m AS (SELECT range AS i FROM range(64)),
+k AS (SELECT unnest([0, 2, 4, 6]) AS frame_idx)
+SELECT i AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(4 + frame_idx * 8 AS BIGINT) AS offset,
+       CAST(8 AS BIGINT) AS frame_bytes,
+       ROUND(list_aggregate(list_transform(range(frame_idx*8, frame_idx*8 + 8),
+                                           j -> (i*j) % 251), 'sum') / 8.0, 4) AS mean
+FROM m, k
+""")
+def multimodal_frame_sample(spark, sf_dir):
+    from pywdcollections_spark.operators.multimodal import (
+        sample_frames, synthetic_media)
+    fr = sample_frames(synthetic_media(spark, 64), frame_bytes=8, stride=2)
+    return fr.select("media_id",
+                     F.col("frame_idx").cast("long").alias("frame_idx"),
+                     "offset",
+                     F.col("frame_bytes").cast("long").alias("frame_bytes"),
+                     "mean")
 
 
 QUERIES["kg_harvest_fixture"] = kg_harvest_fixture

@@ -169,3 +169,14 @@ def test_blocked_fingerprint_matches_char_fold(spark):
     got = {r["i"]: r["fp"] for r in
            df.select("i", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert got == {i: py_fp(t) for i, t in enumerate(texts)}
+
+
+def test_w1_deterministic_key_order():
+    """W1: derived prop/row orderings are deterministic across calls
+    (the reference relies on dict order; we sort explicitly)."""
+    from pywdcollections_spark.config import demo_config
+    c1, c2 = demo_config(), demo_config()
+    assert c1.template_map_rows() == c2.template_map_rows()
+    for site in ("enwiki", "frwiki", "dewiki"):
+        p = c1.harvested_props(site)
+        assert p == sorted(set(p)) == c2.harvested_props(site)

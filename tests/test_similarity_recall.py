@@ -71,3 +71,16 @@ def test_two_bit_probing_strictly_widens(spark, corpus_and_queries):
     r1 = sum(len(exact[q] & one.get(q, set())) for q in exact)
     r2 = sum(len(exact[q] & two.get(q, set())) for q in exact)
     assert r2 >= r1
+
+
+def test_ivf_recall_at_5(spark, corpus_and_queries):
+    """IVF with 16 cells / 2 probes finds planted near-neighbors (a
+    copy's nearest centroid is its source's centroid w.h.p.)."""
+    from pywdcollections_spark.operators.similarity import ivf_topk
+    corpus, queries = corpus_and_queries
+    exact = _topk_sets(brute_force_topk(corpus, queries, "vec_id", "embedding", k=5))
+    approx = _topk_sets(ivf_topk(corpus, queries, "vec_id", "embedding",
+                                 k=5, n_centroids=16, n_probe=2))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (5 * NQ)
+    assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
