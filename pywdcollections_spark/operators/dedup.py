@@ -85,7 +85,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, k: int = 8, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash + LSH banding: docs whose signatures collide in >=1 band
     become candidate pairs, then exact Jaccard verifies. rows_per_band
     = k/bands. Scale path for near-dup at corpus size.
@@ -96,7 +97,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     are re-derived from the doc table only for the two sides of the
     (small) verified candidate set; shingle computation is JVM-side
     whole-stage codegen, so recomputing it for candidates is far
-    cheaper at 100 TB than shuffling array payloads."""
+    cheaper at 100 TB than shuffling array payloads.
+
+    ``max_bucket_size`` drops band buckets holding more docs than the
+    cap from candidate generation (a bucket of B docs yields B²/2
+    pairs; a corpus with a large exact-duplicate group floods every
+    band). Run exact_duplicates FIRST and near-dup only the distinct
+    survivors — then a bucket over the cap signals residual skew worth
+    dropping, at a bounded recall cost the caller opts into."""
     rows = k // bands
     docs = (df.select(F.col(id_col).alias("doc"),
                       F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
@@ -111,6 +119,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                                                      for r in range(rows)]).alias("bkey"))
                          for j in range(bands)])).alias("b"))
                  .select("doc", "b.band", "b.bkey"))
+    if max_bucket_size is not None:
+        ok = (band_rows.groupBy("band", "bkey")
+              .agg(F.count("*").alias("bsz"))
+              .filter(F.col("bsz") <= max_bucket_size)
+              .select("band", "bkey"))
+        band_rows = band_rows.join(ok, ["band", "bkey"])
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

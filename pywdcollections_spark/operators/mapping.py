@@ -116,9 +116,12 @@ def map_positional_params(templates: DataFrame, template_map: DataFrame) -> Data
              .withColumn("param_idx",
                          (F.array_position("params", F.col("param")) - 1).cast("int")))
 
+    # UDF input NULL-gated by pred (a when() outside the UDF does not
+    # stop its per-row evaluation — see validate.py note)
+    coord_val = coord_positional_udf(
+        F.when(F.col("pred") == "P625", F.col("params")))
     return (first
-            .withColumn("val", F.when(F.col("pred") == "P625",
-                                      coord_positional_udf("params"))
+            .withColumn("val", F.when(F.col("pred") == "P625", coord_val)
                                 .otherwise(F.col("param")))
             .select(*_OUT_COLS))
 

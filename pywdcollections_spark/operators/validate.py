@@ -127,14 +127,18 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     df = df.join(cats, df["clean_cat"] == cats["cat_title"], "left").drop("cat_title") \
            .withColumn("cat_exists", F.coalesce("cat_exists", F.lit(False)))
 
+    # UDF inputs are NULL-gated by family: a when() OUTSIDE a UDF does
+    # not stop the ArrowEvalPython node evaluating it for every row, so
+    # the family filter rides INSIDE the argument — Python work is then
+    # proportional to the family's rows (each UDF maps None -> None)
+    gated = lambda fam_name: F.when(F.col("family") == fam_name, F.col("obj_raw"))
     df = (df
-          .withColumn("coord", F.when(F.col("family") == "p625", coord_parse_udf("obj_raw")))
-          .withColumn("url_norm", F.when(F.col("family") == "p856", url_normalize_udf("obj_raw")))
+          .withColumn("coord", coord_parse_udf(gated("p625")))
+          .withColumn("url_norm", url_normalize_udf(gated("p856")))
           # integer gate is literally int(value) in the reference
           # (:1182-1185) — a pandas UDF calling int() for bit parity
           # ('1_234', unicode digits), same pattern as the coord/url gates
-          .withColumn("int_ok", F.when(F.col("family") == "integer",
-                                       int_parse_ok_udf("obj_raw"))))
+          .withColumn("int_ok", int_parse_ok_udf(gated("integer"))))
 
     # image extension predicate (:1141-1144)
     t_ = F.lower("obj_raw")

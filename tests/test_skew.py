@@ -74,3 +74,23 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert not any(x < 20 and y < 20 for (x, y) in cp)
     # the genuine near-dup pair survives with the IDENTICAL exact score
     assert cp[(100, 101)] == fp[(100, 101)] > 0.3
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A large exact-duplicate group floods every band bucket; the cap
+    drops those buckets while distinct near-dup pairs keep their exact
+    Jaccard scores."""
+    from pywdcollections_spark.operators.dedup import minhash_lsh_pairs
+    rows = [(i, "the same exact flood document text here") for i in range(60)]
+    rows += [(200, "rare alpha beta gamma delta words"),
+             (201, "rare alpha beta gamma delta terms")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_lsh_pairs(df, "doc_id", "text", n=2, threshold=0.1)
+    capped = minhash_lsh_pairs(df, "doc_id", "text", n=2, threshold=0.1,
+                               max_bucket_size=10)
+    fp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in full.collect()}
+    cp = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert sum(1 for (x, y) in fp if x < 60 and y < 60) == 60 * 59 // 2
+    assert not any(x < 60 and y < 60 for (x, y) in cp)
+    assert cp[(200, 201)] == fp[(200, 201)] > 0.1
