@@ -36,6 +36,22 @@ def flexible_date(col: Column) -> Column:
     return F.struct(ts.alias("ts"), prec.alias("precision"))
 
 
+def parse_monolingual(col: Column, default_lang: str = "en") -> Column:
+    """Opt-in coercion for the monolingual_text datatype (P6375 is
+    registered but the reference's write_prop has no monolingual
+    writer — same fallthrough policy as dates, mirrored by default):
+    'lang:text' splits into its parts, anything else takes
+    ``default_lang`` (the harvest site's language in the pipeline).
+    Returns struct(lang string, text string)."""
+    s = F.trim(col)
+    tagged = s.rlike(r"^[a-z]{2,3}:.+")
+    lang = F.when(tagged, F.regexp_extract(s, r"^([a-z]{2,3}):", 1)) \
+            .otherwise(F.lit(default_lang))
+    text = F.when(tagged, F.trim(F.regexp_replace(s, r"^[a-z]{2,3}:", ""))) \
+            .otherwise(s)
+    return F.struct(lang.alias("lang"), text.alias("text"))
+
+
 def coerce_date_triples(staged) -> "F.DataFrame":
     """Opt-in promotion of date-family staged rows: adds ts/precision
     columns (NULL ts => still unpromotable, like the reference)."""

@@ -24,9 +24,11 @@ def _stop_hits(ws, lang: str):
     return F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w))))
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(df: DataFrame, id_col: str, text_col: str,
+                keep: tuple = ()) -> DataFrame:
     """Stopword-vote language guess with deterministic tie-break
-    (en > fr > de on equal votes, 'und' = no votes)."""
+    (en > fr > de on equal votes, 'und' = no votes). ``keep`` forwards
+    extra columns (pipeline composition without a re-join)."""
     ws = words(F.col(text_col))
     en, fr, de = (_stop_hits(ws, l) for l in ("en", "fr", "de"))
     guess = (F.when((en >= fr) & (en >= de) & (en > 0), "en")
@@ -34,13 +36,16 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .when(de > 0, "de")
               .otherwise("und"))
     return df.select(F.col(id_col).alias("doc"), guess.alias("lang_guess"),
-                     en.alias("en_hits"), fr.alias("fr_hits"), de.alias("de_hits"))
+                     en.alias("en_hits"), fr.alias("fr_hits"), de.alias("de_hits"),
+                     *keep)
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  keep: tuple = ()) -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1]:
     length band, alpha ratio, punctuation ratio, stopword ratio,
-    mean word length — the standard web-text quality recipe."""
+    mean word length — the standard web-text quality recipe.
+    ``keep`` forwards extra columns for pipeline composition."""
     t = F.col(text_col)
     n_chars = F.length(t)
     ws = words(t)
@@ -63,7 +68,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc"), n_chars.alias("n_chars"),
                      n_words.alias("n_words"), alpha_ratio.alias("alpha_ratio"),
                      punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
-                     mean_wlen.alias("mean_word_len"), score.alias("quality"))
+                     mean_wlen.alias("mean_word_len"), score.alias("quality"),
+                     *keep)
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -75,6 +81,28 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(words(t)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
         F.length(t).alias("n_chars"))
+
+
+def clean_corpus(df: DataFrame, id_col: str, text_col: str,
+                 min_quality: float = 0.5) -> DataFrame:
+    """Composed training-data cleaning pass — the shape a 100 TB corpus
+    job actually runs: quality gate -> exact-duplicate collapse (lowest
+    id per content hash survives) -> language tag + token counters.
+    One declarative plan over one scan: the gate is a pushable filter,
+    the only data-sized shuffles are the md5 groupBy (uniform key) and
+    the canonical-id join."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    q = (quality_score(base, "doc", "text", keep=("text",))
+         .filter(F.col("quality") >= min_quality)
+         .withColumn("content_md5", F.md5("text")))
+    canon = q.groupBy("content_md5").agg(F.min("doc").alias("doc"))
+    uniq = (q.join(canon, ["doc", "content_md5"])
+            .withColumn("ws_tokens", F.size(words(F.col("text")))))
+    out = language_id(uniq, "doc", "text",
+                      keep=("content_md5", "quality", "ws_tokens", "n_chars"))
+    return out.select("doc", "content_md5", "quality", "lang_guess",
+                      F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("n_chars").cast("long").alias("n_chars"))
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

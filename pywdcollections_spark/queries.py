@@ -346,6 +346,24 @@ def c3b_date_precision(spark, sf_dir):
                     F.col("fd.precision").cast("long").alias("precision")))
 
 
+# §2.6 C6375 — monolingual_text coercion (opt-in; see operators/dates.py)
+@_reg("c6375_monolingual", """
+SELECT n_nationkey AS qid,
+       CASE WHEN n_nationkey < 13 THEN 'fr' ELSE 'en' END AS lang,
+       CASE WHEN n_nationkey < 13 THEN n_name ELSE trim(n_name) END AS text
+FROM nation
+""")
+def c6375_monolingual(spark, sf_dir):
+    from pywdcollections_spark.operators.dates import parse_monolingual
+    n = _t(spark, sf_dir, "nation")
+    raw = (F.when(F.col("n_nationkey") < 13,
+                  F.concat(F.lit("fr:"), F.col("n_name")))
+            .otherwise(F.col("n_name")))
+    m = parse_monolingual(raw, default_lang="en")
+    return n.select(F.col("n_nationkey").alias("qid"),
+                    m["lang"].alias("lang"), m["text"].alias("text"))
+
+
 # §2.6 C16 — coalesce fallback chain
 @_reg("c16_coalesce_fallback", """
 SELECT COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'fallback') AS segment,
@@ -786,6 +804,42 @@ def text_token_counts(spark, sf_dir):
     return out.select("doc", F.col("ws_tokens").cast("long").alias("ws_tokens"),
                       F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
                       F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# Composed corpus-cleaning pass: quality gate -> exact-dup collapse
+# (min doc_id per content hash) -> language tag + token counters.
+@_reg("corpus_clean_pipeline", f"""
+WITH d AS (SELECT doc_id, text, {_WS_SQL} AS ws,
+                  length(text) AS n_chars,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+           FROM documents),
+h AS (SELECT doc_id, text, ws, n_chars, n_alpha, n_punct, len(ws) AS n_words,
+  len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is'], lower(w)))) AS en_hits,
+  len(list_filter(ws, w -> list_contains(['le','la','et','de','un','une','est'], lower(w)))) AS fr_hits,
+  len(list_filter(ws, w -> list_contains(['der','die','das','und','ein','ist','von'], lower(w)))) AS de_hits
+  FROM d),
+q AS (SELECT doc_id, text, ws, n_chars, en_hits, fr_hits, de_hits,
+      ROUND(((CASE WHEN n_chars < 100 THEN 0.2 WHEN n_chars < 1000 THEN 1.0 ELSE 0.7 END)
+             + ROUND(n_alpha / greatest(n_chars, 1), 4)
+             + least(ROUND((en_hits + fr_hits + de_hits) / greatest(n_words, 1), 4) * 3, 1.0)
+             + (1 - least(ROUND(n_punct / greatest(n_chars, 1), 4) * 10, 1.0))) / 4, 6) AS quality
+      FROM h),
+kept AS (SELECT *, md5(text) AS content_md5 FROM q WHERE quality >= 0.5),
+canon AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM kept GROUP BY 1),
+uniq AS (SELECT k.* FROM kept k
+         JOIN canon c ON k.doc_id = c.doc_id AND k.content_md5 = c.content_md5)
+SELECT doc_id AS doc, content_md5, quality,
+       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+            WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+            WHEN de_hits > 0 THEN 'de' ELSE 'und' END AS lang_guess,
+       CAST(len(ws) AS BIGINT) AS ws_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM uniq
+""")
+def corpus_clean_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return TS.clean_corpus(d, "doc_id", "text", min_quality=0.5)
 
 
 # document fingerprinting (rolling hash)
