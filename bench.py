@@ -65,8 +65,11 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     t0 = time.time()
     pages = spark.read.parquet(path)
     dims = TK.read_dim_parquet(spark, dim_paths)
+    # the benched job writes triples only -> no validated barrier
+    # (plans/pipeline.py persist_validated note)
     result = build_kg(spark, pages, demo_config(), dims,
-                      n_partitions=spark.sparkContext.defaultParallelism)
+                      n_partitions=spark.sparkContext.defaultParallelism,
+                      persist_validated=False)
     result["triples"].write.mode("overwrite").parquet(out)
     wall = time.time() - t0
     n_triples = spark.read.parquet(out).count()

@@ -15,7 +15,11 @@ WIKILINK_RE = re.compile(r"\[\[(.*?)\]\]", re.DOTALL)  # :204 (non-greedy, DOTAL
 def find_wikilink_mentions(val: str) -> list[str]:
     """Wikilink targets in a value, stripped, namespace links skipped
     (':' in target — images/categories, :206-209). Order preserved;
-    duplicates kept (dedup happens at link-resolution time, :220-221)."""
+    duplicates kept — the reference's one=True path appends
+    non-passing resolutions WITHOUT dedup (:222-223; the
+    `not in result` dedup at :220-221 is unreachable for
+    multiple=False props), so a repeated failing mention makes the
+    value ambiguous (len 2 -> None) and we must reproduce that."""
     out = []
     for match in WIKILINK_RE.findall(val or ""):
         value = match.strip()

@@ -1,20 +1,22 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies over a document table, each a declarative DataFrame
-plan designed for the 100 TB shape:
+Strategies over a document table, each a declarative DataFrame plan
+designed for the 100 TB shape:
 
- * exact            — md5 groupBy (map-side partial agg; no skew issue
-                      because the hash key is uniform)
- * minhash_lsh      — shingle -> k minhashes -> bands -> bucket join;
-                      candidate pairs verified with exact Jaccard.
-                      The band join is the only shuffle that grows
-                      with corpus size; bucket keys are uniform by
-                      construction.
- * simhash          — 16-bit fingerprint groupBy
- * ngram_jaccard    — exact all-pairs Jaccard (bounded input: use for
-                      verification/small partitions; LSH is the scale
-                      path)
- * embedding_cosine — near-dup via cosine on an embedding column
+ * exact                 — md5 groupBy (map-side partial agg; no skew
+                           issue because the hash key is uniform)
+ * minhash_lsh           — shingle -> k minhashes -> bands -> bucket
+                           join carrying KEYS ONLY; candidates verified
+                           with exact Jaccard; hot buckets cappable.
+ * simhash               — 16-bit fingerprint groupBy (equality), plus
+                           pigeonhole Hamming-band pairs for near dups
+ * ngram_jaccard         — exact Jaccard via shingle self-join (bounded
+                           input / verification; hot shingles cappable;
+                           LSH is the scale path)
+ * embedding_lsh_cosine  — near-dup via cosine within hyperplane
+                           sign-buckets (equi joins, multi-table);
+                           the all-pairs form kept only as the
+                           bounded-input oracle twin
 """
 
 from __future__ import annotations

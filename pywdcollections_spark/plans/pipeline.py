@@ -56,11 +56,16 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     templates = P.resolve_subjects(templates, dims["sitelinks"])
     if persist:
         # template rows are small (html/text already dropped at the
-        # parse stage) — persisting here is what keeps the parse single
+        # parse stage) — persisting here is what keeps the parse single.
+        # DISK_ONLY because templates carries the params ARRAY column
+        # (measured ~50x columnar-build pathology on array columns)
         templates = templates.persist(StorageLevel.DISK_ONLY)
     cands = M.map_parameters(templates, template_map, dims["template_redirects"])
     if persist:
-        cands = cands.persist(StorageLevel.DISK_ONLY)
+        # cands is flat strings/ints (no arrays): the in-memory columnar
+        # cache is cheap and spills to disk only under pressure — keeps
+        # the linking fan-out off the shared disk
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     cands = L.link_entity_values(
         cands, dims["sitelinks"], dims["redirects"],
         dims["target_p31"], dims["class_p279"], prop_constraints_df(spark))
@@ -69,17 +74,27 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
 
 def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
              dims: dict[str, DataFrame], n_partitions: int | None = None,
-             use_html: bool = True, persist: bool = True) -> dict[str, DataFrame]:
+             use_html: bool = True, persist: bool = True,
+             persist_validated: bool | None = None) -> dict[str, DataFrame]:
     """Full pipeline. Returns staged, validated, triples (valid only),
-    rejects, and the per-partition lineage/metrics table."""
+    rejects, and the per-partition lineage/metrics table.
+
+    ``persist_validated``: the validated frame only needs a barrier
+    when the caller materializes MORE THAN ONE of triples / rejects /
+    lineage / entities (the checkpoint and test paths do); a job that
+    writes triples alone should not pay a full extra materialization —
+    pass False there (bench does). Default follows ``persist``."""
     staged = harvest(spark, pages, config, dims,
                      n_partitions=n_partitions, use_html=use_html, persist=persist)
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
                            dims["commons_categories"])
-    if persist:
-        # validated fans out into triples / rejects / lineage
-        validated = validated.persist(StorageLevel.DISK_ONLY)
+    if persist_validated is None:
+        persist_validated = persist
+    if persist_validated:
+        # validated fans out into triples / rejects / lineage; flat
+        # columns -> in-memory columnar cache with disk spill
+        validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
     src = dims["sources"].select(F.col("site").alias("source"), "site_qid")
     triples = (validated.filter("valid")
                .join(src, "source", "left")   # provenance P143 analogue (:993-1009)

@@ -138,10 +138,19 @@ def _link_case(rng: random.Random, n_pl: int, head_bias: float = 0.2):
         if rng.random() < 0.5:
             val += f" [[{title}]]"
             exp = place_qid(j)
-    else:  # failing-constraints single mention -> harvested anyway (quirk)
+    else:
         jj = (j // 5) * 5  # a building (fails P131)
-        val = f"[[Place {jj}]]"
-        exp = place_qid(jj)
+        if rng.random() < 0.5:
+            # failing-constraints SINGLE mention -> harvested anyway
+            # (quirk: len==1 wins regardless of constraints, :224)
+            val = f"[[Place {jj}]]"
+            exp = place_qid(jj)
+        else:
+            # the SAME failing mention twice: the reference's one=True
+            # path appends non-passing resolutions without dedup
+            # (:222-223), so len==2 -> None even for one distinct target
+            val = f"[[Place {jj}]] near [[Place {jj}]]"
+            exp = None
     return val, exp
 
 
