@@ -27,12 +27,17 @@ def flexible_date(col: Column) -> Column:
     is_y = s.rlike(r"^\d{4}$")
     is_ym = s.rlike(r"^\d{4}-(0[1-9]|1[0-2])$")
     is_ymd = s.rlike(r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])$")
-    ts = (F.when(is_y, F.to_timestamp(F.concat(s, F.lit("-01-01"))))
-           .when(is_ym, F.to_timestamp(F.concat(s, F.lit("-01"))))
-           .when(is_ymd, F.to_timestamp(s)))
+    # try_to_timestamp, NOT to_timestamp: Spark 4 defaults to ANSI mode,
+    # where a shape-valid but calendar-invalid date ('2021-02-30')
+    # would throw mid-job instead of yielding NULL
+    ts = (F.when(is_y, F.try_to_timestamp(F.concat(s, F.lit("-01-01"))))
+           .when(is_ym, F.try_to_timestamp(F.concat(s, F.lit("-01"))))
+           .when(is_ymd, F.try_to_timestamp(s)))
     prec = (F.when(is_y, F.lit(PRECISION_YEAR))
              .when(is_ym, F.lit(PRECISION_MONTH))
              .when(is_ymd, F.lit(PRECISION_DAY)))
+    # calendar-invalid -> fully unparsed (no precision without a ts)
+    prec = F.when(ts.isNotNull(), prec)
     return F.struct(ts.alias("ts"), prec.alias("precision"))
 
 

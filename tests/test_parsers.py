@@ -180,3 +180,41 @@ def test_w1_deterministic_key_order():
     for site in ("enwiki", "frwiki", "dewiki"):
         p = c1.harvested_props(site)
         assert p == sorted(set(p)) == c2.harvested_props(site)
+
+
+def test_flexible_date_batch_model(spark):
+    """flexible_date vs a datetime model over generated valid, shape-
+    valid-calendar-invalid ('2021-02-30' must be NULL, not an ANSI
+    crash), and junk inputs."""
+    import random as _r
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.operators.dates import flexible_date
+
+    rng = _r.Random(5)
+    cases = []
+    for _ in range(120):
+        y, m, d = rng.randint(1000, 2100), rng.randint(1, 12), rng.randint(1, 28)
+        cases += [f"{y}", f"{y}-{m:02d}", f"{y}-{m:02d}-{d:02d}", f"  {y} "]
+    cases += ["2021-02-30", "2021-04-31", "2020-02-29", "2019-02-29",
+              "21-05", "2021-13", "2021-00-10", "abcd", "", "2021-1-5"]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, s string")
+    fd = flexible_date(F.col("s"))
+    got = {r["i"]: (r["ts"], r["p"]) for r in
+           df.select("i", fd["ts"].alias("ts"), fd["precision"].alias("p")).collect()}
+
+    def model(c):
+        c = c.strip()
+        for fmt, prec, pad in (("%Y", 9, "-01-01"), ("%Y-%m", 10, "-01"),
+                               ("%Y-%m-%d", 11, "")):
+            if len(c) == {9: 4, 10: 7, 11: 10}[prec] and c.replace("-", "").isdigit():
+                try:
+                    return datetime.strptime(c + pad, "%Y-%m-%d"), prec
+                except ValueError:
+                    return None, None
+        return None, None
+
+    for i, c in enumerate(cases):
+        exp_ts, exp_p = model(c)
+        assert got[i] == (exp_ts, exp_p), f"{c!r}: {got[i]} != {(exp_ts, exp_p)}"
