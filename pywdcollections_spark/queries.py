@@ -291,13 +291,15 @@ def w3_first_per_group(spark, sf_dir):
 
 # §2.6 C2 — id extraction (QID -> int analogue)
 @_reg("c2_id_extract", """
-SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT) AS priority_num,
+SELECT TRY_CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS BIGINT) AS priority_num,
        COUNT(*) AS n
 FROM orders GROUP BY 1
 """)
 def c2_id_extract(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
-    num = F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).cast("bigint")
+    # try_cast: regexp_extract yields '' on no match, which ANSI-mode
+    # cast would turn into a mid-job error instead of NULL
+    num = F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).try_cast("bigint")
     return o.groupBy(num.alias("priority_num")).agg(F.count("*").alias("n"))
 
 
