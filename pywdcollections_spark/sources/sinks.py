@@ -162,6 +162,20 @@ class IcebergUpsertSink(UpsertSink):
             self.table, keys, batch.columns, order_col))
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,
+                         n_buckets: int = 32) -> None:
+    """Persist a table hash-bucketed (and sorted) by ``bucket_col``:
+    two tables bucketed the same way join WITHOUT an exchange on
+    either side — the co-location contract for the recurring
+    entity-keyed merges (claims x entities x labels) at 100 TB, where
+    the join shuffle would otherwise dominate every sync cycle.
+    Uses the session catalog (saveAsTable is what carries the bucket
+    spec; plain parquet files cannot)."""
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+       .format("parquet").saveAsTable(table))
+
+
 def get_sink(spark: SparkSession, kind: str = "parquet", **kwargs) -> UpsertSink:
     """Sink selection is configuration: 'parquet' (portable, default)
     or 'iceberg' (production lake)."""

@@ -73,3 +73,34 @@ def test_parquet_sink_maintain_compacts_small_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the join key produce a SortMergeJoin with
+    NO Exchange on either side — the co-location contract."""
+    import io
+    from contextlib import redirect_stdout
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.sources.sinks import write_bucketed_table
+
+    a = spark.range(10_000).select(F.col("id").alias("qid"),
+                                   (F.col("id") * 2).alias("v1"))
+    b = spark.range(10_000).select(F.col("id").alias("qid"),
+                                   (F.col("id") * 3).alias("v2"))
+    write_bucketed_table(a, "bkt_a", "qid", n_buckets=8)
+    write_bucketed_table(b, "bkt_b", "qid", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "qid")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
