@@ -114,3 +114,23 @@ def test_merge_labels_both_flags(spark):
     assert yes[("Q1", "fr")] == ("Vieux", "keep")
     assert yes[("Q2", "en")] == ("Same", "keep")   # identical never 'fix'
     assert yes[("Q2", "de")] == ("Neu", "add")
+
+
+def test_merge_labels_idempotent(spark):
+    """Re-merging the SAME incoming batch into the merge result is all
+    'keep' — the write path converges in one application (the property
+    the reference gets from add/fix being conditional edits)."""
+    from pywdcollections_spark.operators.promote import merge_labels
+    existing = spark.createDataFrame(
+        [("Q1", "en", "Old"), ("Q2", "en", "Same")],
+        "qid string, lang string, label string")
+    incoming = spark.createDataFrame(
+        [("Q1", "en", "New"), ("Q2", "en", "Same"), ("Q3", "fr", "Neu")],
+        "qid string, lang string, label string")
+    once = merge_labels(existing, incoming, overwrite=True).select(
+        "qid", "lang", "label")
+    twice = merge_labels(once, incoming, overwrite=True)
+    assert twice.filter("action <> 'keep'").count() == 0
+    a = once
+    b = twice.select("qid", "lang", "label")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -104,3 +104,24 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """K4 over a bucket-partitioned table keeps the partition dirs and
+    the data while collapsing per-partition file counts."""
+    import glob
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.sources.sinks import compact_parquet
+    path = str(tmp_path / "part")
+    df = spark.range(4_000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"))
+    df.repartition(24).write.partitionBy("bucket").parquet(path)
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) > 24
+
+    before, after = compact_parquet(spark, path, target_file_mb=128,
+                                    partition_by=["bucket"])
+    assert after < before
+    assert len(glob.glob(f"{path}/bucket=*")) == 4
+    got = spark.read.parquet(path)
+    assert got.count() == 4_000
+    assert got.select("bucket").distinct().count() == 4
