@@ -74,13 +74,20 @@ def lsh_bucket(vec, n_planes: int, dim: int, plane_offset: int = 0) -> "F.Column
 
 def probe_masks(n_planes: int, probe_flips: int) -> list[int]:
     """Multi-probe XOR masks: the exact bucket plus every bucket within
-    ``probe_flips`` Hamming bits (0, 1 or 2)."""
-    masks = [0]
-    if probe_flips >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_flips >= 2:
-        masks += [(1 << i) | (1 << j)
-                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    ``probe_flips`` Hamming bits, generated combinatorially for any
+    flip count (sum of C(n_planes, r) masks — the caller pays probe
+    fan-out, never silently reduced recall)."""
+    from itertools import combinations
+    if not 0 <= probe_flips <= n_planes:
+        raise ValueError(
+            f"probe_flips must be in [0, n_planes={n_planes}], got {probe_flips}")
+    masks = []
+    for r in range(probe_flips + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     return masks
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pywdcollections_spark.config import CollectionConfig
-from pywdcollections_spark.plans.pipeline import build_kg
+from pywdcollections_spark.plans.pipeline import build_kg, unpersist_all
 
 
 def bucket_col(col, n_buckets: int):
@@ -96,6 +96,10 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
                .fillna(0, ["n_pages", "n_triples"])
                .withColumn("completed_at", F.current_timestamp()))
         lin.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+        # this group's outputs are all committed: release the pipeline
+        # persists so per-group DISK_ONLY caches don't accumulate for
+        # the life of a long multi-group session
+        unpersist_all(out)
         done.update(todo)
         processed += 1
     return {"groups_processed": processed,

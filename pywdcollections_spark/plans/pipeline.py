@@ -33,7 +33,8 @@ def prop_constraints_df(spark: SparkSession) -> DataFrame:
 def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
             dims: dict[str, DataFrame], n_partitions: int | None = None,
             use_html: bool = True, salt_buckets: int = 16,
-            persist: bool = True) -> DataFrame:
+            persist: bool = True,
+            persisted_out: list | None = None) -> DataFrame:
     """pages -> staged triples (the `harvested` staging analogue).
 
     ``persist`` materializes the parsed-template rows once: the mapping
@@ -46,6 +47,12 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     in-memory columnar cache on array-typed columns (the columnar build
     dominates), and at cluster scale this is where a production job
     would checkpoint to a staging table anyway.
+
+    ``persisted_out``: optional accumulator; every frame this call
+    persists is appended so the caller can unpersist exactly those
+    handles once its outputs are written (per-bucket/per-batch callers
+    must not let DISK_ONLY caches accumulate for the session lifetime,
+    and must not clearCache() the whole session either).
     """
     template_map = spark.createDataFrame(
         config.template_map_rows(),
@@ -60,12 +67,16 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         # DISK_ONLY because templates carries the params ARRAY column
         # (measured ~50x columnar-build pathology on array columns)
         templates = templates.persist(StorageLevel.DISK_ONLY)
+        if persisted_out is not None:
+            persisted_out.append(templates)
     cands = M.map_parameters(templates, template_map, dims["template_redirects"])
     if persist:
         # cands is flat strings/ints (no arrays): the in-memory columnar
         # cache is cheap and spills to disk only under pressure — keeps
         # the linking fan-out off the shared disk
         cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(cands)
     cands = L.link_entity_values(
         cands, dims["sitelinks"], dims["redirects"],
         dims["target_p31"], dims["class_p279"], prop_constraints_df(spark))
@@ -83,9 +94,15 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     when the caller materializes MORE THAN ONE of triples / rejects /
     lineage / entities (the checkpoint and test paths do); a job that
     writes triples alone should not pay a full extra materialization —
-    pass False there (bench does). Default follows ``persist``."""
+    pass False there (bench does). Default follows ``persist``.
+
+    The returned dict's ``persisted`` entry lists every frame this call
+    persisted; per-batch/per-bucket callers pass it to
+    ``unpersist_all`` after their writes (see harvest docstring)."""
+    persisted: list[DataFrame] = []
     staged = harvest(spark, pages, config, dims,
-                     n_partitions=n_partitions, use_html=use_html, persist=persist)
+                     n_partitions=n_partitions, use_html=use_html, persist=persist,
+                     persisted_out=persisted)
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
                            dims["commons_categories"])
@@ -95,6 +112,7 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         # validated fans out into triples / rejects / lineage; flat
         # columns -> in-memory columnar cache with disk spill
         validated = validated.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(validated)
     src = dims["sources"].select(F.col("site").alias("source"), "site_qid")
     triples = (validated.filter("valid")
                .join(src, "source", "left")   # provenance P143 analogue (:993-1009)
@@ -112,7 +130,15 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         # (pywdcollections.py:476-498,416-434) as one set-based merge
         "entities": promote_to_entities(dims["entities_seed"], triples),
         "lineage": lineage(pages, validated),
+        "persisted": persisted,
     }
+
+
+def unpersist_all(out: dict) -> None:
+    """Release exactly the frames a build_kg call persisted (never the
+    caller's own caches — clearCache() would)."""
+    for df in out.get("persisted", []):
+        df.unpersist()
 
 
 def lineage(pages: DataFrame, validated: DataFrame, n_buckets: int = 64) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pywdcollections_spark.config import CollectionConfig
-from pywdcollections_spark.plans.pipeline import build_kg
+from pywdcollections_spark.plans.pipeline import build_kg, unpersist_all
 
 
 def stream_harvest(spark: SparkSession, pages_dir: str, out_dir: str,
@@ -47,7 +47,9 @@ def stream_harvest(spark: SparkSession, pages_dir: str, out_dir: str,
             .parquet(os.path.join(out_dir, "triples")))
         progress["batches"] += 1
         progress["rows_in"] += batch_df.count()
-        spark.catalog.clearCache()   # drop the per-batch pipeline persists
+        # drop exactly this batch's pipeline persists — NOT clearCache(),
+        # which would evict caller-owned caches (persisted dims, other jobs)
+        unpersist_all(out)
 
     q = (stream.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir)

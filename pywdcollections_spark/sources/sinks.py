@@ -18,6 +18,7 @@ backends implement the same ``UpsertSink`` interface and
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -46,14 +47,30 @@ def compact_parquet(spark: SparkSession, path: str, target_file_mb: int = 128,
     """K4 table maintenance — the reference's cache VACUUM
     (pywdcollections.py:532-533) re-expressed for a lake: rewrite a
     fragmented parquet directory into ~target-size files (the
-    small-files problem after many incremental bucket commits), with an
-    atomic directory swap. At 100 TB this is Iceberg
+    small-files problem after many incremental bucket commits), swapped
+    in via two directory renames. At 100 TB this is Iceberg
     ``rewrite_data_files`` (IcebergUpsertSink.maintain); this is the
-    portable parquet fallback. Returns (files_before, files_after)."""
+    portable parquet fallback. Returns (files_before, files_after).
+
+    Crash/reader window (local-FS fallback only): POSIX has no atomic
+    two-directory swap, so between rename(path, old) and
+    rename(tmp, path) a concurrent reader sees ``path`` missing. A
+    crash in that window is recovered two ways: (a) this function rolls
+    ``old`` back to ``path`` if the second rename fails, and (b) a
+    later call finds the data intact at ``path + '.old'`` and restores
+    it before compacting. Single-writer discipline is assumed (same as
+    the per-bucket commit protocol); the no-window version of this
+    operation is the Iceberg backend, where the swap is a metadata
+    pointer commit. glob/os.rename make this local-FS-only — on object
+    stores use the Iceberg sink."""
     import glob
     import math
     import shutil
 
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # recover from a crash inside a previous swap window
+        os.rename(old, path)
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
@@ -62,10 +79,13 @@ def compact_parquet(spark: SparkSession, path: str, target_file_mb: int = 128,
           else df.repartition(n_out))
     tmp = path.rstrip("/") + ".compacting"
     write_atomic(df, tmp, partition_by)
-    old = path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)   # roll back: table visible again at path
+        raise
     shutil.rmtree(old)
     return len(files), n_out
 
@@ -117,13 +137,20 @@ def iceberg_merge_sql(table: str, keys: list[str], columns: list[str],
                       order_col: str, source_view: str = "_updates") -> str:
     """The MERGE INTO statement the Iceberg backend runs — one
     statement per commit, row-level upsert, last-wins via the
-    pre-deduplicated source (ON CONFLICT REPLACE analogue)."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
-    cols = ", ".join(columns)
-    vals = ", ".join(f"s.{c}" for c in columns)
-    return (f"MERGE INTO {table} t USING {source_view} s ON {on} "
-            f"WHEN MATCHED AND s.{order_col} >= t.{order_col} THEN UPDATE SET {sets} "
+    pre-deduplicated source (ON CONFLICT REPLACE analogue). Column and
+    view identifiers are backtick-quoted; the table name is passed
+    through as-is (it is a dotted catalog path, validated at sink
+    construction)."""
+    def q(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+    sv = q(source_view)
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in columns if c not in keys)
+    cols = ", ".join(q(c) for c in columns)
+    vals = ", ".join(f"s.{q(c)}" for c in columns)
+    return (f"MERGE INTO {table} t USING {sv} s ON {on} "
+            f"WHEN MATCHED AND s.{q(order_col)} >= t.{q(order_col)} "
+            f"THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})")
 
 
@@ -157,9 +184,15 @@ class IcebergUpsertSink(UpsertSink):
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
         batch = (updates.withColumn("_rn", F.row_number().over(w))
                  .filter("_rn = 1").drop("_rn"))
-        batch.createOrReplaceTempView("_updates")
-        self.spark.sql(iceberg_merge_sql(
-            self.table, keys, batch.columns, order_col))
+        # per-call unique view name: two sinks upserting concurrently in
+        # one session must not race on a shared temp view
+        view = f"_updates_{uuid.uuid4().hex}"
+        batch.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(iceberg_merge_sql(
+                self.table, keys, batch.columns, order_col, source_view=view))
+        finally:
+            self.spark.catalog.dropTempView(view)
 
 
 def write_bucketed_table(df: DataFrame, table: str, bucket_col: str,

@@ -84,3 +84,24 @@ def test_ivf_recall_at_5(spark, corpus_and_queries):
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
     recall = hits / (5 * NQ)
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
+
+
+def test_probe_masks_combinatorial():
+    """Masks cover every bucket within probe_flips Hamming bits for ANY
+    flip count (ADVICE r2: >2 flips must not silently degrade), and
+    out-of-range flip counts raise."""
+    from math import comb
+
+    import pytest
+
+    from pywdcollections_spark.operators.similarity import probe_masks
+
+    for n, f in [(8, 0), (8, 1), (8, 2), (8, 3), (6, 4), (4, 4)]:
+        masks = probe_masks(n, f)
+        assert len(masks) == sum(comb(n, r) for r in range(f + 1))
+        assert len(set(masks)) == len(masks)
+        assert all(bin(m).count("1") <= f and m < (1 << n) for m in masks)
+    with pytest.raises(ValueError):
+        probe_masks(8, 9)
+    with pytest.raises(ValueError):
+        probe_masks(8, -1)

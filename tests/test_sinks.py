@@ -44,11 +44,14 @@ def test_parquet_sink_upsert_idempotent(spark, tmp_path):
 
 def test_iceberg_merge_sql_shape():
     sql = iceberg_merge_sql("lake.kg.claims", ["subj", "pred"],
-                            ["subj", "pred", "obj", "ts"], "ts")
-    assert sql.startswith("MERGE INTO lake.kg.claims t USING _updates s")
-    assert "ON t.subj = s.subj AND t.pred = s.pred" in sql
-    assert "WHEN MATCHED AND s.ts >= t.ts THEN UPDATE SET t.obj = s.obj, t.ts = s.ts" in sql
-    assert "WHEN NOT MATCHED THEN INSERT (subj, pred, obj, ts)" in sql
+                            ["subj", "pred", "obj", "ts"], "ts",
+                            source_view="_updates_abc")
+    # identifiers backtick-quoted; per-call source view respected
+    assert sql.startswith("MERGE INTO lake.kg.claims t USING `_updates_abc` s")
+    assert "ON t.`subj` = s.`subj` AND t.`pred` = s.`pred`" in sql
+    assert ("WHEN MATCHED AND s.`ts` >= t.`ts` "
+            "THEN UPDATE SET t.`obj` = s.`obj`, t.`ts` = s.`ts`") in sql
+    assert "WHEN NOT MATCHED THEN INSERT (`subj`, `pred`, `obj`, `ts`)" in sql
 
 
 def test_iceberg_sink_fails_fast_without_catalog(spark):
@@ -73,6 +76,28 @@ def test_parquet_sink_maintain_compacts_small_files(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_compact_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the table only at
+    path+'.old'; the next maintain() must restore it before compacting
+    (ADVICE r2: the swap window is not atomic on a local FS)."""
+    import glob
+    import os
+    path = str(tmp_path / "tbl")
+    spark.range(1_000).withColumnRenamed("id", "k") \
+        .repartition(8).write.parquet(path)
+    # simulate the crash window: first rename done, second never ran
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+
+    sink = ParquetUpsertSink(spark, path)
+    sink.maintain(target_file_mb=128)
+    got = spark.read.parquet(path)
+    assert got.count() == 1_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(1_000))
+    assert len(glob.glob(f"{path}/**/*.parquet", recursive=True)) == 1
+    assert not os.path.exists(path + ".old")
 
 
 def test_bucketed_tables_join_without_exchange(spark):
