@@ -57,18 +57,24 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     path = pages_parquet(spark, n_pages, seed, cache_dir)
     # dims ride as parquet tables (production shape) — generation and
     # materialization excluded from the timed section
+    # v3: adds the commons_redirects dim + redirect-target categories
     dim_paths = TK.write_dim_parquet(
-        spark, n_pages, seed, os.path.join(cache_dir, f"dims_v2_n{n_pages}_s{seed}"))
+        spark, n_pages, seed, os.path.join(cache_dir, f"dims_v3_n{n_pages}_s{seed}"))
     out = out_dir or os.path.join(cache_dir, "triples_out.parquet")
     shutil.rmtree(out, ignore_errors=True)
 
+    # parse-stage partition count: default one per core; the scaling
+    # bench sets a multiple of cores (same multiple at BOTH sizes) so
+    # a single slow partition cannot straggle the wide configuration
+    n_parts = int(os.environ.get("SPARK_GRAFT_BENCH_NPARTS",
+                                 spark.sparkContext.defaultParallelism))
     t0 = time.time()
     pages = spark.read.parquet(path)
     dims = TK.read_dim_parquet(spark, dim_paths)
     # the benched job writes triples only -> no validated barrier
     # (plans/pipeline.py persist_validated note)
     result = build_kg(spark, pages, demo_config(), dims,
-                      n_partitions=spark.sparkContext.defaultParallelism,
+                      n_partitions=n_parts,
                       persist_validated=False)
     result["triples"].write.mode("overwrite").parquet(out)
     wall = time.time() - t0

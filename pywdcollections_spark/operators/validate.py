@@ -16,10 +16,14 @@ The already-present gate is the copy-eligibility predicate F4
 sounds and any unlisted property fall through write_prop's dispatch
 (:1084-1085) -> 'writer_not_implemented' (staged but never promoted).
 
-File-page existence (:1164) and Commons-category redirects (:966-967)
-are external-service lookups the reference makes per row; here the
-Commons category check is a dim join and file existence is assumed
-(documented deviation — fixtures model categories, not files).
+Commons-category redirects (:966-967, via write_prop_373 :1217) are
+followed ONE hop through the ``commons_redirects`` dim (from_title ->
+to_title) BEFORE the existence check, and the claim lands with the
+TARGET title — the batch analogue of pywikibot's isCategoryRedirect()/
+getCategoryRedirectTarget. File-page existence (:1164) remains an
+external-service lookup the reference makes per row; here it is
+assumed true (documented deviation — fixtures model categories, not
+files).
 """
 
 from __future__ import annotations
@@ -74,7 +78,8 @@ def melt_entity_claims(entities_seed: DataFrame) -> DataFrame:
 
 def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFrame,
              target_p31: DataFrame, class_p279: DataFrame,
-             commons_categories: DataFrame) -> DataFrame:
+             commons_categories: DataFrame,
+             commons_redirects: DataFrame | None = None) -> DataFrame:
     """-> staged columns + family, valid, reject_reason, obj_norm."""
     b = lambda df: df  # AQE auto-broadcasts dims (see linking.py note)
     disp = b(spark.createDataFrame(
@@ -122,9 +127,21 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     clean_cat = F.translate(F.regexp_replace(clean_cat_s1, r"::", ":"), "{}[]", "")
 
     df = df.withColumn("clean_img", clean_img).withColumn("clean_cat", clean_cat)
+    # one-hop category-redirect resolution (:966-967): the resolved
+    # title feeds both the exists check and the claim target
+    if commons_redirects is not None:
+        redir = b(commons_redirects
+                  .select(F.col("from_title").alias("r_from"),
+                          F.col("to_title").alias("r_to")).distinct())
+        df = (df.join(redir, df["clean_cat"] == redir["r_from"], "left")
+                .drop("r_from")
+                .withColumn("resolved_cat", F.coalesce("r_to", "clean_cat"))
+                .drop("r_to"))
+    else:
+        df = df.withColumn("resolved_cat", F.col("clean_cat"))
     cats = b(commons_categories.select(F.col("title").alias("cat_title"))
              .distinct().withColumn("cat_exists", F.lit(True)))
-    df = df.join(cats, df["clean_cat"] == cats["cat_title"], "left").drop("cat_title") \
+    df = df.join(cats, df["resolved_cat"] == cats["cat_title"], "left").drop("cat_title") \
            .withColumn("cat_exists", F.coalesce("cat_exists", F.lit(False)))
 
     # UDF inputs are NULL-gated by family: a when() OUTSIDE a UDF does
@@ -178,7 +195,9 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
 
     obj_norm = (
         F.when(fam == "image", F.col("clean_img"))
-         .when(fam == "p373", F.col("clean_cat"))
+         # claim target is the RESOLVED category title (:1220 —
+         # commonscat.title() after redirect following)
+         .when(fam == "p373", F.col("resolved_cat"))
          .when(fam == "p625", F.col("coord.norm"))
          .when(fam == "p856", F.col("url_norm"))
          .otherwise(F.col("obj_raw"))

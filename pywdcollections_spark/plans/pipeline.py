@@ -105,7 +105,8 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
                      persisted_out=persisted)
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
-                           dims["commons_categories"])
+                           dims["commons_categories"],
+                           dims.get("commons_redirects"))
     if persist_validated is None:
         persist_validated = persist
     if persist_validated:

@@ -107,7 +107,15 @@ class UpsertSink:
 class ParquetUpsertSink(UpsertSink):
     """Portable backend: read-merge-overwrite on a parquet directory.
     The write unit stays partition-atomic (directory swap), matching
-    the per-bucket commit discipline of plans.checkpoint."""
+    the per-bucket commit discipline of plans.checkpoint.
+
+    When the table is partitioned and every partition column is also a
+    merge key (a key row is then confined to one partition), upsert is
+    PARTITION-PRUNED: only the partitions whose key-prefix values
+    appear in the update batch are read, merged, and dynamically
+    overwritten — untouched partition directories are never opened or
+    rewritten, so the fallback itself survives a large table (the
+    Iceberg backend remains the row-level scale path)."""
 
     def __init__(self, spark: SparkSession, path: str,
                  partition_by: list[str] | None = None):
@@ -128,9 +136,32 @@ class ParquetUpsertSink(UpsertSink):
         except Exception:       # first write: no target yet
             write_atomic(deduped, self.path, self.partition_by)
             return
+        if self.partition_by and set(self.partition_by) <= set(keys):
+            self._pruned_upsert(existing, updates, keys, order_col)
+            return
         merged = merge_last_wins(existing, updates, keys, order_col)
         # materialize before overwriting the path the plan reads from
         write_atomic(merged.localCheckpoint(), self.path, self.partition_by)
+
+    def _pruned_upsert(self, existing: DataFrame, updates: DataFrame,
+                       keys: list[str], order_col: str) -> None:
+        """Merge only the partitions named by the update batch. The
+        touched-partition list is control-plane sized (one row per
+        partition, NOT per record); the literal filter it builds is
+        what pushes directory-level partition pruning into the scan."""
+        from functools import reduce
+        pcols = self.partition_by
+        touched = updates.select(*pcols).distinct().collect()
+        one = lambda r: reduce(lambda a, b: a & b,
+                               [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols])
+        cond = reduce(lambda a, b: a | b, [one(r) for r in touched])
+        merged = merge_last_wins(existing.filter(cond), updates, keys, order_col)
+        # dynamic overwrite: only partitions present in `merged` (= the
+        # touched set) are replaced; materialize first — the plan reads
+        # the same directory it is about to rewrite
+        (merged.localCheckpoint().write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(*pcols).parquet(self.path))
 
 
 def iceberg_merge_sql(table: str, keys: list[str], columns: list[str],

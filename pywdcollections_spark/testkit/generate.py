@@ -448,6 +448,27 @@ def expected_harvested_rows(seed: int, i: int, n_pages: int,
     } for pred, obj in staged.items()]
 
 
+def cat_redirect_case(seed: int, i: int) -> tuple[str, str, bool] | None:
+    """Deterministic per-page Commons category-redirect case: returns
+    (from_title, to_title, target_exists) or None.
+
+    Models pywikibot's isCategoryRedirect()/getCategoryRedirectTarget
+    (one hop, pywdcollections.py:966-967): ~8%% of pages' harvested
+    'Category of {title}' is a redirect to an existing canonical
+    category (claim lands with the TARGET title), ~3%% redirect to a
+    target that does not exist (claim rejected by the exists check,
+    :1219-1223)."""
+    lang = page_lang(seed, i)
+    t = page_title(i, lang)
+    rng = random.Random(f"{seed}:catredir:{i}")
+    r = rng.random()
+    if r < 0.08:
+        return (f"Category of {t}", f"Canonical category of {t}", True)
+    if r < 0.11:
+        return (f"Category of {t}", f"Deleted category of {t}", False)
+    return None
+
+
 def expected_text_rows(seed: int, i: int, n_pages: int,
                        head_templates: int = 200) -> dict:
     spec = page_spec(seed, i, n_pages, head_templates)
@@ -524,11 +545,21 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
         entities_seed.append(row)
 
     commons_categories = []
+    commons_redirects = []
     for i in range(n_pages):
         lang = page_lang(seed, i)
         t = page_title(i, lang)
+        # the redirect page itself exists on Commons (it is a page
+        # carrying the redirect template) — resolution happens BEFORE
+        # the exists check, so source titles stay listed
         for name in (f"Category of {t}", f"Catégorie de {t}", t):
             commons_categories.append({"title": name})
+        case = cat_redirect_case(seed, i)
+        if case is not None:
+            frm, to, target_exists = case
+            commons_redirects.append({"from_title": frm, "to_title": to})
+            if target_exists:
+                commons_categories.append({"title": to})
     for t in range(2000):
         commons_categories.append({"title": f"Head category {t}"})
 
@@ -537,4 +568,5 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
     out["items"] = items
     out["entities_seed"] = entities_seed
     out["commons_categories"] = commons_categories
+    out["commons_redirects"] = commons_redirects
     return out

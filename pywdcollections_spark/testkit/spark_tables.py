@@ -105,8 +105,16 @@ def _per_page_dim_rows(seed: int, i: int):
     if G.forced_dup_image(seed, i):
         ent["P154"] = f"{title} photo.jpg"
     cats = [f"Category of {title}", f"Catégorie de {title}", title]
+    redirs = []
+    case = G.cat_redirect_case(seed, i)
+    if case is not None:
+        frm, to, target_exists = case
+        redirs.append({"from_title": frm, "to_title": to})
+        if target_exists:
+            cats.append(to)
     return {"sitelink": {"site": f"{lang}wiki", "title": title, "qid": qid},
-            "item": {"qid": qid}, "entity": ent, "cats": cats}
+            "item": {"qid": qid}, "entity": ent, "cats": cats,
+            "cat_redirects": redirs}
 
 
 def dim_dfs(spark: SparkSession, n_pages: int, seed: int = 42,
@@ -133,6 +141,9 @@ def dim_dfs(spark: SparkSession, n_pages: int, seed: int = 42,
         [tuple(r[f.name] for f in ENTITIES_SEED_SCHEMA) for r in d["entities_seed"]],
         ENTITIES_SEED_SCHEMA)
     out["commons_categories"] = spark.createDataFrame(d["commons_categories"], "title string")
+    out["commons_redirects"] = spark.createDataFrame(
+        [(r["from_title"], r["to_title"]) for r in d["commons_redirects"]],
+        "from_title string, to_title string")
     out["sources"] = spark.createDataFrame(d["sources"], "site string, site_qid long")
     return out
 
@@ -163,6 +174,13 @@ def _dim_dfs_distributed(spark: SparkSession, n_pages: int, seed: int) -> dict[s
                 titles.extend(_per_page_dim_rows(seed, int(i))["cats"])
             yield pd.DataFrame({"title": titles})
 
+    def gen_cat_redirects(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(_per_page_dim_rows(seed, int(i))["cat_redirects"])
+            yield pd.DataFrame(rows, columns=["from_title", "to_title"])
+
     # small (place/country/config) dims stay driver-side — pool size
     # still scales with n_pages
     d = G.small_dim_rows(n_pages, seed)
@@ -187,6 +205,8 @@ def _dim_dfs_distributed(spark: SparkSession, n_pages: int, seed: int) -> dict[s
     out["entities_seed"] = base.mapInPandas(gen_entities, ENTITIES_SEED_SCHEMA)
     out["commons_categories"] = head_cats.unionByName(
         base.mapInPandas(gen_cats, "title string"))
+    out["commons_redirects"] = base.mapInPandas(
+        gen_cat_redirects, "from_title string, to_title string")
     return out
 
 

@@ -49,6 +49,8 @@ class _Universe:
         for r in d["class_p279"]:
             self.p279.setdefault(r["class_qid"], set()).add(r["super_qid"])
         self.categories = {r["title"] for r in d["commons_categories"]}
+        self.cat_redirects = {r["from_title"]: r["to_title"]
+                              for r in d["commons_redirects"]}
         self.existing = {r["qid"]: r for r in d["entities_seed"]}
 
     def check_constraints(self, qid: str, constraints: set) -> bool:
@@ -172,6 +174,9 @@ def expected_validation(n_pages: int, seed: int, head_templates: int = 200):
                     if norm == "":
                         reject("empty_title")
                         continue
+                    # one-hop category redirect (pywikibot Category(),
+                    # pywdcollections.py:966-967) before the exists check
+                    norm = uni.cat_redirects.get(norm, norm)
                     if norm not in uni.categories:
                         reject("category_missing")
                         continue

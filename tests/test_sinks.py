@@ -78,6 +78,42 @@ def test_parquet_sink_maintain_compacts_small_files(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
 
 
+def test_partition_pruned_upsert_leaves_untouched_partitions(spark, tmp_path):
+    """A partitioned sink whose partition columns are merge keys merges
+    ONLY the partitions named by the update batch: untouched partition
+    directories keep their files (same inode mtimes), touched ones
+    rewrite, and merge semantics stay last-wins (VERDICT r2 #4)."""
+    import glob
+    import os
+    path = str(tmp_path / "part_tbl")
+    sink = ParquetUpsertSink(spark, path, partition_by=["site"])
+    base = spark.createDataFrame(
+        [("enwiki", "Q1", "a", 1), ("enwiki", "Q2", "b", 1),
+         ("frwiki", "Q3", "c", 1), ("dewiki", "Q4", "d", 1)],
+        "site string, qid string, v string, ts long")
+    sink.upsert(base, keys=["site", "qid"], order_col="ts")
+
+    def part_files(site):
+        return sorted(glob.glob(f"{path}/site={site}/*.parquet"))
+
+    fr_before = [(f, os.path.getmtime(f)) for f in part_files("frwiki")]
+    de_before = [(f, os.path.getmtime(f)) for f in part_files("dewiki")]
+    assert fr_before and de_before
+
+    updates = spark.createDataFrame(
+        [("enwiki", "Q1", "a2", 2),          # newer -> replaces
+         ("enwiki", "Q9", "new", 1)],        # insert into touched partition
+        "site string, qid string, v string, ts long")
+    sink.upsert(updates, keys=["site", "qid"], order_col="ts")
+
+    # untouched partitions: identical file lists AND mtimes (never rewritten)
+    assert [(f, os.path.getmtime(f)) for f in part_files("frwiki")] == fr_before
+    assert [(f, os.path.getmtime(f)) for f in part_files("dewiki")] == de_before
+
+    got = {r["qid"]: r["v"] for r in sink.read().collect()}
+    assert got == {"Q1": "a2", "Q2": "b", "Q3": "c", "Q4": "d", "Q9": "new"}
+
+
 def test_compact_recovers_from_crashed_swap(spark, tmp_path):
     """A crash between the two swap renames leaves the table only at
     path+'.old'; the next maintain() must restore it before compacting

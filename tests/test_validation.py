@@ -52,6 +52,38 @@ def test_rejects_match_golden(spark, outputs):
     assert nm == 0 and ne == 0
 
 
+def test_category_redirect_followed_to_target(spark, outputs):
+    """P373 category-redirect following (pywdcollections.py:966-967 via
+    :1205-1223): a harvested category that is a redirect lands with its
+    TARGET title; a redirect to a missing target rejects on the exists
+    check."""
+    from pywdcollections_spark.testkit import generate as G
+
+    cases = {i: G.cat_redirect_case(SEED, i) for i in range(N_PAGES)}
+    assert any(c and c[2] for c in cases.values()), "fixture lacks redirect->existing"
+    assert any(c and not c[2] for c in cases.values()), "fixture lacks redirect->missing"
+
+    triples = outputs["triples"].filter(F.col("pred") == "P373") \
+        .select("subj", "obj_raw", "obj_norm").collect()
+    rejects = {(r["subj"], r["obj_raw"]): r["reject_reason"]
+               for r in outputs["rejects"].filter(F.col("pred") == "P373").collect()}
+
+    resolved = [r for r in triples
+                if r["obj_norm"].startswith("Canonical category of ")]
+    assert resolved, "no redirected category harvested as its target"
+    for r in resolved:
+        # claim target = redirect target, raw value = original title
+        assert r["obj_raw"].startswith("Category of ")
+
+    # redirect-to-missing: no valid P373 triple, reject reason is the
+    # exists check (the redirect WAS followed — the target is missing)
+    missing_rejected = [k for k, v in rejects.items()
+                        if v == "category_missing"
+                        and cases.get(int(k[0][1:]) - 1000)
+                        and not cases[int(k[0][1:]) - 1000][2]]
+    assert missing_rejected, "no redirect->missing case rejected"
+
+
 def test_full_sources_map_provenance(spark):
     """Any wiki site — not just the fixture's en/fr/de — resolves a
     site_qid through the provenance join (the reference's ~330-row
