@@ -91,25 +91,81 @@ def probe_masks(n_planes: int, probe_flips: int) -> list[int]:
     return masks
 
 
+def kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                     k: int = 16, iters: int = 2, q_scale: int = 1_000_000) -> DataFrame:
+    """Deterministic seeded k-means — the 'one extra job' that trains
+    IVF centroids (returns (cent_id 0..k-1, centv array<double>) for
+    ivf_topk's ``centroids`` input; everything downstream unchanged).
+
+    Cross-engine reproducible by construction, so a SQL oracle can
+    re-derive the SAME centroids bit-for-bit:
+     * init = the k lowest-id corpus vectors (seeded, not random);
+     * assignment = argmax of the 4-dp-rounded cosine, ties to the
+       lowest cent_id (same comparator as the oracle's row_number);
+     * update = mean over FIXED-POINT vectors: each component is
+       quantized to round(x * q_scale) as int64 first, so the per-cell
+       sums are exact integer arithmetic — order-INDEPENDENT, unlike a
+       float sum whose value depends on partial-aggregation order —
+       and the final division of exact integers is the same double in
+       any engine. Empty cells keep their previous centroid.
+
+    Spark shape: centroids broadcast each iteration; assignment is a
+    map-side max_by; the update shuffles only (cell, dim) partial sums
+    (k*dim groups — map-side combined, independent of corpus size)."""
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"))
+    c = c.withColumn(
+        "vi", F.transform("cv", lambda x: F.round(x * q_scale).cast("long")))
+    cent = (c.orderBy("nid").limit(k)
+            .select((F.row_number().over(Window.orderBy("nid")) - 1).alias("cent_id"),
+                    F.col("cv").alias("centv")))
+    for _ in range(iters):
+        bc = F.broadcast(cent.select("cent_id", F.col("centv").alias("bcentv")))
+        assigned = (c.crossJoin(bc)
+                    .withColumn("cc", cosine(F.col("cv"), F.col("bcentv")))
+                    .groupBy("nid")
+                    .agg(F.max_by(
+                        F.struct(F.col("vi").alias("vi"),
+                                 F.col("cent_id").alias("cell")),
+                        F.struct(F.col("cc").alias("cc"),
+                                 (-F.col("cent_id")).alias("t"))).alias("s"))
+                    .select(F.col("s.cell").alias("cell"), F.col("s.vi").alias("vi")))
+        sums = (assigned.select("cell", F.posexplode("vi").alias("d", "val"))
+                .groupBy("cell", "d")
+                .agg(F.sum("val").alias("sv"), F.count("*").alias("n")))
+        newc = (sums.groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "sv", "n"))),
+                    lambda x: x["sv"].cast("double")
+                    / (F.lit(float(q_scale)) * x["n"])).alias("ncentv")))
+        cent = (cent.join(newc, cent["cent_id"] == newc["cell"], "left")
+                .select("cent_id",
+                        F.coalesce("ncentv", "centv").alias("centv")))
+    return cent
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_centroids: int = 16,
-             n_probe: int = 4) -> DataFrame:
+             n_probe: int = 4, centroids: DataFrame | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned
     into ``n_centroids`` cells by nearest centroid; each query scans
     only its ``n_probe`` nearest cells.
 
-    Centroids here are the ``n_centroids`` lowest-id corpus vectors —
-    deterministic and SQL-reproducible; a production deployment trains
-    k-means centroids in one extra job and everything downstream
-    (assignment, probing, scoring) is unchanged. Spark shape: the
-    centroid table broadcasts, cell assignment is a broadcast cross
-    join collapsed by a map-side max_by (16 rows per vector combine
-    before any shuffle), and the probe join is an equi join on cell —
-    the cell column is precomputable and partitionable at 100 TB."""
+    ``centroids`` (cent_id, centv) plugs in a trained table — see
+    kmeans_centroids for the deterministic k-means job. Without it,
+    centroids default to the ``n_centroids`` lowest-id corpus vectors
+    (the zero-training baseline). Spark shape: the centroid table
+    broadcasts, cell assignment is a broadcast cross join collapsed by
+    a map-side max_by (16 rows per vector combine before any shuffle),
+    and the probe join is an equi join on cell — the cell column is
+    precomputable and partitionable at 100 TB."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    cent = F.broadcast(
-        c.orderBy("neighbor_id").limit(n_centroids)
-         .select(F.col("neighbor_id").alias("cent_id"), F.col("cv").alias("centv")))
+    if centroids is None:
+        centroids = (c.orderBy("neighbor_id").limit(n_centroids)
+                     .select(F.col("neighbor_id").alias("cent_id"),
+                             F.col("cv").alias("centv")))
+    cent = F.broadcast(centroids.select("cent_id", "centv"))
     cc = cosine(F.col("cv"), F.col("centv"))
     assigned = (c.crossJoin(cent)
                 .withColumn("cc", cc)

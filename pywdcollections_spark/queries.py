@@ -735,6 +735,72 @@ def similarity_topk_ivf(spark, sf_dir):
                     "neighbor_id", "cos"))
 
 
+# IVF with TRAINED centroids: deterministic seeded k-means (2 fixed
+# iterations, fixed-point integer centroid sums so both engines derive
+# bit-identical centroids — see operators.similarity.kmeans_centroids).
+def _kmeans_iter_sql(i: int, prev: str, dim: int = 64,
+                     scale: int = 1_000_000) -> str:
+    """One k-means iteration as CTEs: assign (argmax rounded cosine,
+    ties to lowest cell) -> exact integer per-(cell,dim) sums ->
+    reassembled centroid list; empty cells keep the previous centroid."""
+    cos = _COS_SQL.format(a="ei.v", b="c.centv")
+    return f"""
+a{i} AS (SELECT vec_id, vi, cell FROM (
+    SELECT ei.vec_id, ei.vi, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY ei.vec_id
+                              ORDER BY {cos} DESC, c.cent_id) AS rn
+    FROM ei, {prev} c) WHERE rn = 1),
+s{i} AS (SELECT cell, d, SUM(vi[d+1]) AS sv, COUNT(*) AS n
+         FROM a{i} CROSS JOIN range(0, {dim}) AS t(d) GROUP BY cell, d),
+n{i} AS (SELECT cell, list(sv / ({scale}.0 * n) ORDER BY d) AS centv
+         FROM s{i} GROUP BY cell),
+c{i} AS (SELECT p.cent_id, COALESCE(n{i}.centv, p.centv) AS centv
+         FROM {prev} p LEFT JOIN n{i} ON n{i}.cell = p.cent_id)"""
+
+
+@_reg("similarity_topk_ivf_kmeans", f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 300),
+ei AS (SELECT vec_id, v,
+              list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS vi
+       FROM e),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, v AS centv
+       FROM e ORDER BY vec_id LIMIT 16),
+{_kmeans_iter_sql(1, 'c0')},
+{_kmeans_iter_sql(2, 'c1')},
+asg AS (SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.v', b='c.centv')} DESC,
+                                       c.cent_id) AS rn
+    FROM e, c2 c) WHERE rn = 1),
+q AS (SELECT vec_id, v FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL.format(a='q.v', b='c.centv')} DESC,
+                                       c.cent_id) AS rn
+    FROM q, c2 c) WHERE rn <= 4),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.v', b='a.v')} AS cos
+  FROM probes p JOIN asg a ON p.cell = a.cell AND p.vec_id <> a.vec_id)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+""")
+def similarity_topk_ivf_kmeans(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = e.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+    cent = SIM.kmeans_centroids(e, "vec_id", "embedding", k=16, iters=2)
+    return (SIM.ivf_topk(e, q, "vec_id", "embedding",
+                         k=5, n_probe=4, centroids=cent)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos"))
+
+
 # language-ID heuristic
 @_reg("text_langid", f"""
 WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),

@@ -86,6 +86,21 @@ def test_ivf_recall_at_5(spark, corpus_and_queries):
     assert recall >= 0.9, f"IVF recall@5 = {recall:.3f}"
 
 
+def test_ivf_kmeans_recall_at_5(spark, corpus_and_queries):
+    """Trained centroids (deterministic seeded k-means, VERDICT r2 #5)
+    beat the lowest-id baseline: recall@5 >= 0.95 at the same 16 cells
+    / 2 probes where the untrained baseline is gated at 0.9."""
+    from pywdcollections_spark.operators.similarity import ivf_topk, kmeans_centroids
+    corpus, queries = corpus_and_queries
+    exact = _topk_sets(brute_force_topk(corpus, queries, "vec_id", "embedding", k=5))
+    cent = kmeans_centroids(corpus, "vec_id", "embedding", k=16, iters=2)
+    approx = _topk_sets(ivf_topk(corpus, queries, "vec_id", "embedding",
+                                 k=5, n_probe=2, centroids=cent))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / (5 * NQ)
+    assert recall >= 0.95, f"k-means IVF recall@5 = {recall:.3f}"
+
+
 def test_probe_masks_combinatorial():
     """Masks cover every bucket within probe_flips Hamming bits for ANY
     flip count (ADVICE r2: >2 flips must not silently degrade), and
