@@ -250,3 +250,46 @@ def embedding_lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cos", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def near_dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                      b_col: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every node
+    labeled with the MIN id in its component (the canonical-document
+    choice a dedup pipeline keeps). Output: (doc_id, cluster).
+
+    Iterative min-label propagation — each round every node takes the
+    min of its own label and its neighbors' (one equi join + one
+    groupBy per round), stopping at fixpoint (a driver-side count per
+    round, the standard convergence check for iterative Spark jobs).
+    Rounds needed = component diameter; near-dup clusters are
+    shallow (a dup cluster's pair graph is dense), so this converges
+    in a handful of rounds — ``max_iters`` is a cycle-safe cap, and at
+    100 TB the same loop runs with edges bucketed on src (the
+    alternating large-star/small-star variant halves diameters for
+    pathological chains). Deterministic (min over longs), so a SQL
+    oracle reproduces it with a recursive reachability CTE."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("cluster", F.col("node"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), F.col("cluster")))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("node").agg(F.min("cluster").alias("cluster"))
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new_labels
+                   .join(labels.withColumnRenamed("cluster", "old"), "node")
+                   .filter(F.col("cluster") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster")

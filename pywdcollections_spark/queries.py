@@ -548,6 +548,48 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "doc_id", "text", n=2, k=8, bands=4, threshold=0.1)
 
 
+# near-dup CLUSTERS: connected components over the minhash pair list,
+# every doc labeled with its component's min id (the canonical doc a
+# dedup pipeline keeps). Spark: iterative min-label propagation to
+# fixpoint; oracle: recursive reachability CTE + MIN — both yield the
+# exact component minimum, so the check is exact.
+@_reg("dedup_clusters", f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, sh, {_minhash_sql(8)} AS sig
+  FROM (SELECT doc_id, {_sh_sql()} AS sh
+        FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents WHERE doc_id < 150))
+  WHERE len(sh) > 0),
+bands AS (
+  SELECT doc_id, sh, b.band,
+         sig[b.band * 2 + 1]::VARCHAR || '_' || sig[b.band * 2 + 2]::VARCHAR AS bkey
+  FROM d, (SELECT unnest(range(0, 4)) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           len(list_intersect(sh_a, sh_b)) AS n_inter,
+           len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS n_union
+    FROM cand)
+  WHERE n_inter / n_union >= 0.1),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a
+""")
+def dedup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", n=2, k=8, bands=4,
+                                threshold=0.1)
+    return D.near_dup_clusters(pairs)
+
+
 def _simhash_sql() -> str:
     h = _H64.format(s="w")
     th = f"list_transform(ws, w -> {h})"
