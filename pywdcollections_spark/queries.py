@@ -966,6 +966,59 @@ def text_fingerprint(spark, sf_dir):
     return TS.fingerprints(d, "doc_id", "text")
 
 
+# corpus profiling: ROLLUP over (lang, source) — partial-agg friendly
+# multi-level stats in one pass (the shape a 100 TB corpus profile job
+# runs; subtotals come free from the same shuffle)
+@_reg("corpus_profile_rollup", """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""")
+def corpus_profile_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+            .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                    F.coalesce("source", F.lit("ALL")).alias("source"),
+                    "n_docs", "total_chars", "avg_chars"))
+
+
+# exact length quantiles per language (Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition, so the
+# check is exact at 4dp)
+@_reg("text_length_quantiles", """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+       ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 4) AS p75,
+       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+FROM documents GROUP BY lang
+""")
+def text_length_quantiles(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(*[F.round(F.expr(f"percentile(n_chars, {q})"), 4).alias(n)
+                   for q, n in [(0.25, "p25"), (0.50, "p50"),
+                                (0.75, "p75"), (0.95, "p95")]]))
+
+
+# deterministic content-hash sampling: the reproducible train/eval
+# split a pipeline needs (same rows in ANY engine / at ANY scale —
+# no RAND(), no per-run drift; pushes down as a cheap filter)
+@_reg("corpus_sample_hash", f"""
+SELECT doc_id, lang FROM documents
+WHERE {_H64.format(s='text')} % 10 = 0
+""")
+def corpus_sample_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.filter(md5_hash64(F.col("text")) % 10 == 0)
+            .select("doc_id", "lang"))
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible entries (rows-only driver check)
 
