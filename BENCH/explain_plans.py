@@ -37,7 +37,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # materialize small fixture tables as parquet so plans show real scans
-    base = "/tmp/pywdc_explain"
+    # (v3: dims include commons_redirects)
+    base = "/tmp/pywdc_explain_v3"
     TK.pages_df(spark, 500, 42, head_templates=20).write.mode("overwrite") \
         .parquet(f"{base}/pages.parquet")
     dim_paths = TK.write_dim_parquet(spark, 500, 42, base)
@@ -64,6 +65,8 @@ def main():
     lsh_plan = formatted(QUERIES["dedup_minhash_lsh"](spark, sf))
     emb_plan = formatted(QUERIES["dedup_embedding_cosine"](spark, sf))
     ann_plan = formatted(QUERIES["similarity_topk_lsh"](spark, sf))
+    ivfk_plan = formatted(QUERIES["similarity_topk_ivf_kmeans"](spark, sf))
+    clus_plan = formatted(QUERIES["dedup_clusters"](spark, sf))
 
     checks = []
     def check(name, cond, detail=""):
@@ -114,6 +117,17 @@ def main():
     check("minhash band join carries keys only (no shingle array in exchange)",
           bool(band_outs) and not any("sh#" in ln or "sh_" in ln for ln in band_outs),
           f"{len(band_outs)} band-keyed node outputs checked")
+    # k-means IVF: the ONLY nested-loop nodes are the intended k-row
+    # centroid broadcasts (assignment/probe fan-out); the data-sized
+    # probe join must be an equi join, never a CartesianProduct
+    check("kmeans-IVF: no CartesianProduct; probe/scan joins are hash joins",
+          "CartesianProduct" not in ivfk_plan
+          and ("BroadcastHashJoin" in ivfk_plan or "SortMergeJoin" in ivfk_plan),
+          f"{ivfk_plan.count('BroadcastNestedLoopJoin')} centroid-broadcast "
+          "cross joins (k-row side, intended)")
+    check("dedup_clusters: label propagation is equi-join only",
+          "CartesianProduct" not in clus_plan
+          and "BroadcastNestedLoopJoin" not in clus_plan)
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# Physical plans (explain 'formatted')\n\n")
@@ -130,6 +144,10 @@ def main():
         f.write(emb_plan[:8000])
         f.write("\n```\n\n## similarity_topk_lsh (multi-probe)\n\n```\n")
         f.write(ann_plan[:8000])
+        f.write("\n```\n\n## similarity_topk_ivf_kmeans (trained centroids)\n\n```\n")
+        f.write(ivfk_plan[:8000])
+        f.write("\n```\n\n## dedup_clusters (connected components, final round)\n\n```\n")
+        f.write(clus_plan[:8000])
         f.write("\n```\n")
     print("\n".join(checks))
 

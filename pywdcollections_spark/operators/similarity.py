@@ -142,6 +142,10 @@ def kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
         cent = (cent.join(newc, cent["cent_id"] == newc["cell"], "left")
                 .select("cent_id",
                         F.coalesce("ncentv", "centv").alias("centv")))
+        # k rows: truncate lineage each round — otherwise every
+        # downstream reference (assignment + probe joins) re-executes
+        # the whole training subtree, and the plan grows per iteration
+        cent = cent.localCheckpoint()
     return cent
 
 
