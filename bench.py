@@ -57,9 +57,9 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     path = pages_parquet(spark, n_pages, seed, cache_dir)
     # dims ride as parquet tables (production shape) — generation and
     # materialization excluded from the timed section
-    # v3: adds the commons_redirects dim + redirect-target categories
+    # v4: adds commons_redirects + commons_files/file_redirects dims
     dim_paths = TK.write_dim_parquet(
-        spark, n_pages, seed, os.path.join(cache_dir, f"dims_v3_n{n_pages}_s{seed}"))
+        spark, n_pages, seed, os.path.join(cache_dir, f"dims_v4_n{n_pages}_s{seed}"))
     out = out_dir or os.path.join(cache_dir, "triples_out.parquet")
     shutil.rmtree(out, ignore_errors=True)
 

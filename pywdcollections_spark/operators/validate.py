@@ -20,10 +20,15 @@ Commons-category redirects (:966-967, via write_prop_373 :1217) are
 followed ONE hop through the ``commons_redirects`` dim (from_title ->
 to_title) BEFORE the existence check, and the claim lands with the
 TARGET title — the batch analogue of pywikibot's isCategoryRedirect()/
-getCategoryRedirectTarget. File-page existence (:1164) remains an
-external-service lookup the reference makes per row; here it is
-assumed true (documented deviation — fixtures model categories, not
-files).
+getCategoryRedirectTarget. FILE pages (write_prop_image :1162-1172 via
+FilePage :977-981) follow redirects RECURSIVELY — here the
+``file_redirects`` dim is chain-collapsed with pointer doubling
+(collapse_redirect_chains) and the resolved title feeds the
+``commons_files`` existence check; the claim lands with the resolved
+title, a missing file page rejects with 'file_missing' (the
+reference's 'image does not exist!'). On a redirect CYCLE the
+reference recurses forever; the bounded collapse terminates instead
+(documented deviation, pathological input only).
 """
 
 from __future__ import annotations
@@ -76,10 +81,30 @@ def melt_entity_claims(entities_seed: DataFrame) -> DataFrame:
             .filter(F.col("existing_val").isNotNull()))
 
 
+def collapse_redirect_chains(redirects: DataFrame,
+                             max_doublings: int = 4) -> DataFrame:
+    """(from_title, to_title) chains -> (from_title, final to_title)
+    via pointer doubling: k rounds resolve chains up to 2^k hops, each
+    round ONE dim-sized equi self-join (the set-based analogue of the
+    reference's recursive FilePage following, pywdcollections.py:
+    977-981). Cycles simply stop resolving — the row keeps the last
+    reached title (the reference would recurse forever)."""
+    r = redirects.select(F.col("from_title").alias("src"),
+                         F.col("to_title").alias("dst"))
+    for _ in range(max_doublings):
+        hop = r.select(F.col("src").alias("h_src"), F.col("dst").alias("h_dst"))
+        r = (r.join(hop, r["dst"] == hop["h_src"], "left")
+             .select("src", F.coalesce("h_dst", "dst").alias("dst")))
+    return r.select(F.col("src").alias("from_title"),
+                    F.col("dst").alias("to_title"))
+
+
 def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFrame,
              target_p31: DataFrame, class_p279: DataFrame,
              commons_categories: DataFrame,
-             commons_redirects: DataFrame | None = None) -> DataFrame:
+             commons_redirects: DataFrame | None = None,
+             commons_files: DataFrame | None = None,
+             file_redirects: DataFrame | None = None) -> DataFrame:
     """-> staged columns + family, valid, reject_reason, obj_norm."""
     b = lambda df: df  # AQE auto-broadcasts dims (see linking.py note)
     disp = b(spark.createDataFrame(
@@ -144,6 +169,28 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     df = df.join(cats, df["resolved_cat"] == cats["cat_title"], "left").drop("cat_title") \
            .withColumn("cat_exists", F.coalesce("cat_exists", F.lit(False)))
 
+    # file-page redirect following (RECURSIVE, :977-981) + existence
+    # check (:1164); without the dims, existence is assumed (the
+    # pre-r3 behavior, kept for callers without a files dim)
+    if file_redirects is not None:
+        fredir = b(collapse_redirect_chains(file_redirects)
+                   .select(F.col("from_title").alias("f_from"),
+                           F.col("to_title").alias("f_to")).distinct())
+        df = (df.join(fredir, df["clean_img"] == fredir["f_from"], "left")
+                .drop("f_from")
+                .withColumn("resolved_img", F.coalesce("f_to", "clean_img"))
+                .drop("f_to"))
+    else:
+        df = df.withColumn("resolved_img", F.col("clean_img"))
+    if commons_files is not None:
+        fdim = b(commons_files.select(F.col("title").alias("file_title"))
+                 .distinct().withColumn("file_exists", F.lit(True)))
+        df = (df.join(fdim, df["resolved_img"] == fdim["file_title"], "left")
+                .drop("file_title")
+                .withColumn("file_exists", F.coalesce("file_exists", F.lit(False))))
+    else:
+        df = df.withColumn("file_exists", F.lit(True))
+
     # UDF inputs are NULL-gated by family: a when() OUTSIDE a UDF does
     # not stop the ArrowEvalPython node evaluating it for every row, so
     # the family filter rides INSIDE the argument — Python work is then
@@ -180,6 +227,9 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
         .when((fam == "image") & F.col("already"), "already_present")
         .when((fam == "image") & F.col("img_dup"), "image_duplicate")
         .when((fam == "image") & (F.col("clean_img") == ""), "empty_title")
+        # FilePage exists-check LAST, on the redirect-resolved title
+        # (:1162-1172 — 'image does not exist!')
+        .when((fam == "image") & ~F.col("file_exists"), "file_missing")
         # remaining writers: already-present first, then format
         .when(fam.isin("integer", "p281", "p373", "p625", "p856",
                        "p1047", "p1866", "p6788", "p8389") & F.col("already"),
@@ -194,7 +244,9 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     )
 
     obj_norm = (
-        F.when(fam == "image", F.col("clean_img"))
+        # claim target is the redirect-RESOLVED file title (:1163-1165
+        # — claim.setTarget(filepage) after FilePage resolution)
+        F.when(fam == "image", F.col("resolved_img"))
          # claim target is the RESOLVED category title (:1220 —
          # commonscat.title() after redirect following)
          .when(fam == "p373", F.col("resolved_cat"))

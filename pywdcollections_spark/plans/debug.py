@@ -74,7 +74,9 @@ def debug_page(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
                            dims["commons_categories"],
-                           dims.get("commons_redirects"))
+                           dims.get("commons_redirects"),
+                           dims.get("commons_files"),
+                           dims.get("file_redirects"))
     out["validated"] = validated.collect()
 
     if verbose:

@@ -106,7 +106,9 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
                            dims["commons_categories"],
-                           dims.get("commons_redirects"))
+                           dims.get("commons_redirects"),
+                           dims.get("commons_files"),
+                           dims.get("file_redirects"))
     if persist_validated is None:
         persist_validated = persist
     if persist_validated:

@@ -23,7 +23,13 @@ _DEFAULT_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batching for every Python crossing (no per-row Python).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # batch size bounds the per-worker Arrow working set: 10k pages x
+    # ~1-3 KB html = 10-30 MB per batch per worker, which busts the
+    # shared LLC when 8+ workers stream concurrently (the measured
+    # single-box scaling limiter); smaller batches trade per-batch
+    # overhead for cache locality — override for experiments via env
+    "spark.sql.execution.arrow.maxRecordsPerBatch":
+        os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
     # config-derived dims (template maps, validators, class sets)
     # broadcast; corpus-scale dims (sitelinks at millions of rows) are
     # ABOVE this threshold on purpose — their join must take the

@@ -469,6 +469,50 @@ def cat_redirect_case(seed: int, i: int) -> tuple[str, str, bool] | None:
     return None
 
 
+def file_case(seed: int, i: int) -> str:
+    """Deterministic per-page Commons FILE-page case for the page's
+    ``{title} photo.*`` image candidates:
+     * 'missing'   (~8%%): none of the page's photo file pages exist —
+       the write_prop_image exists-check rejects (:1164,1172);
+     * 'redirect'  (~8%%): the .jpg name is a file redirect to an
+       existing '(archived)' name — FilePage follows it (:977-981) and
+       the claim lands with the TARGET title;
+     * 'redirect2' (~3%%): a 2-hop chain .jpg -> (archived) -> (final),
+       proving the reference's RECURSIVE following;
+     * 'plain' otherwise: all photo names exist as themselves."""
+    rng = random.Random(f"{seed}:fileexist:{i}")
+    r = rng.random()
+    if r < 0.08:
+        return "missing"
+    if r < 0.16:
+        return "redirect"
+    if r < 0.19:
+        return "redirect2"
+    return "plain"
+
+
+def file_dim_rows(seed: int, i: int) -> tuple[list[str], list[dict]]:
+    """(existing file titles, file redirects) for page i's image pool."""
+    lang = page_lang(seed, i)
+    base = f"{page_title(i, lang)} photo"
+    case = file_case(seed, i)
+    if case == "missing":
+        return [], []
+    files = [f"{base}.{e}" for e in ("jpg", "jpeg", "png", "svg", "tif")]
+    redirs: list[dict] = []
+    if case in ("redirect", "redirect2"):
+        # both extensions that pass the image writer's ext gate redirect
+        for e in ("jpg", "jpeg"):
+            arch = f"{base} (archived).{e}"
+            redirs.append({"from_title": f"{base}.{e}", "to_title": arch})
+            files.append(arch)
+            if case == "redirect2":
+                fin = f"{base} (final).{e}"
+                redirs.append({"from_title": arch, "to_title": fin})
+                files.append(fin)
+    return files, redirs
+
+
 def expected_text_rows(seed: int, i: int, n_pages: int,
                        head_templates: int = 200) -> dict:
     spec = page_spec(seed, i, n_pages, head_templates)
@@ -546,6 +590,8 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
 
     commons_categories = []
     commons_redirects = []
+    commons_files = []
+    file_redirects = []
     for i in range(n_pages):
         lang = page_lang(seed, i)
         t = page_title(i, lang)
@@ -560,6 +606,9 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
             commons_redirects.append({"from_title": frm, "to_title": to})
             if target_exists:
                 commons_categories.append({"title": to})
+        fs, fr = file_dim_rows(seed, i)
+        commons_files.extend({"title": f} for f in fs)
+        file_redirects.extend(fr)
     for t in range(2000):
         commons_categories.append({"title": f"Head category {t}"})
 
@@ -569,4 +618,6 @@ def dim_rows(n_pages: int, seed: int) -> dict[str, list[dict]]:
     out["entities_seed"] = entities_seed
     out["commons_categories"] = commons_categories
     out["commons_redirects"] = commons_redirects
+    out["commons_files"] = commons_files
+    out["file_redirects"] = file_redirects
     return out

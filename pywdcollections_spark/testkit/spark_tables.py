@@ -112,9 +112,11 @@ def _per_page_dim_rows(seed: int, i: int):
         redirs.append({"from_title": frm, "to_title": to})
         if target_exists:
             cats.append(to)
+    files, file_redirs = G.file_dim_rows(seed, i)
     return {"sitelink": {"site": f"{lang}wiki", "title": title, "qid": qid},
             "item": {"qid": qid}, "entity": ent, "cats": cats,
-            "cat_redirects": redirs}
+            "cat_redirects": redirs,
+            "files": files, "file_redirects": file_redirs}
 
 
 def dim_dfs(spark: SparkSession, n_pages: int, seed: int = 42,
@@ -143,6 +145,11 @@ def dim_dfs(spark: SparkSession, n_pages: int, seed: int = 42,
     out["commons_categories"] = spark.createDataFrame(d["commons_categories"], "title string")
     out["commons_redirects"] = spark.createDataFrame(
         [(r["from_title"], r["to_title"]) for r in d["commons_redirects"]],
+        "from_title string, to_title string")
+    out["commons_files"] = spark.createDataFrame(
+        [(r["title"],) for r in d["commons_files"]], "title string")
+    out["file_redirects"] = spark.createDataFrame(
+        [(r["from_title"], r["to_title"]) for r in d["file_redirects"]],
         "from_title string, to_title string")
     out["sources"] = spark.createDataFrame(d["sources"], "site string, site_qid long")
     return out
@@ -181,6 +188,20 @@ def _dim_dfs_distributed(spark: SparkSession, n_pages: int, seed: int) -> dict[s
                 rows.extend(_per_page_dim_rows(seed, int(i))["cat_redirects"])
             yield pd.DataFrame(rows, columns=["from_title", "to_title"])
 
+    def gen_files(batches):
+        for pdf in batches:
+            titles = []
+            for i in pdf["id"]:
+                titles.extend(_per_page_dim_rows(seed, int(i))["files"])
+            yield pd.DataFrame({"title": titles})
+
+    def gen_file_redirects(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(_per_page_dim_rows(seed, int(i))["file_redirects"])
+            yield pd.DataFrame(rows, columns=["from_title", "to_title"])
+
     # small (place/country/config) dims stay driver-side — pool size
     # still scales with n_pages
     d = G.small_dim_rows(n_pages, seed)
@@ -207,6 +228,9 @@ def _dim_dfs_distributed(spark: SparkSession, n_pages: int, seed: int) -> dict[s
         base.mapInPandas(gen_cats, "title string"))
     out["commons_redirects"] = base.mapInPandas(
         gen_cat_redirects, "from_title string, to_title string")
+    out["commons_files"] = base.mapInPandas(gen_files, "title string")
+    out["file_redirects"] = base.mapInPandas(
+        gen_file_redirects, "from_title string, to_title string")
     return out
 
 

@@ -51,6 +51,9 @@ class _Universe:
         self.categories = {r["title"] for r in d["commons_categories"]}
         self.cat_redirects = {r["from_title"]: r["to_title"]
                               for r in d["commons_redirects"]}
+        self.files = {r["title"] for r in d["commons_files"]}
+        self.file_redirects = {r["from_title"]: r["to_title"]
+                               for r in d["file_redirects"]}
         self.existing = {r["qid"]: r for r in d["entities_seed"]}
 
     def check_constraints(self, qid: str, constraints: set) -> bool:
@@ -147,6 +150,16 @@ def expected_validation(n_pages: int, seed: int, head_templates: int = 200):
                 norm = obj.replace("File:", "").replace("file:", "").strip().replace("::", ":")
                 if norm == "":
                     reject("empty_title")
+                    continue
+                # RECURSIVE file-redirect following (FilePage,
+                # pywdcollections.py:977-981), then the exists check
+                # (:1164) — claim lands with the resolved title
+                seen = set()
+                while norm in uni.file_redirects and norm not in seen:
+                    seen.add(norm)
+                    norm = uni.file_redirects[norm]
+                if norm not in uni.files:
+                    reject("file_missing")
                     continue
             else:
                 if already:

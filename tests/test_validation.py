@@ -84,6 +84,50 @@ def test_category_redirect_followed_to_target(spark, outputs):
     assert missing_rejected, "no redirect->missing case rejected"
 
 
+def test_file_redirect_followed_and_missing_file_rejected(spark, outputs):
+    """File-page semantics (write_prop_image, pywdcollections.py:
+    1162-1172 via FilePage :977-981): a redirected file lands with its
+    resolved title (recursively — 2-hop chains resolve to the final
+    target), and an image whose file page does not exist rejects with
+    the exists check."""
+    from pywdcollections_spark.testkit import generate as G
+
+    cases = {i: G.file_case(SEED, i) for i in range(N_PAGES)}
+    assert "redirect" in cases.values() and "redirect2" in cases.values() \
+        and "missing" in cases.values()
+
+    image_preds = ("P18", "P154")
+    triples = outputs["triples"].filter(F.col("pred").isin(*image_preds)).collect()
+    rejects = outputs["rejects"].filter(F.col("pred").isin(*image_preds)).collect()
+
+    archived = [r for r in triples if "(archived)." in r["obj_norm"]]
+    assert archived, "no file redirect resolved in the pipeline"
+    for r in archived:
+        assert "photo.jp" in r["obj_raw"]       # raw keeps the original name
+
+    missing = [r for r in rejects if r["reject_reason"] == "file_missing"]
+    assert missing, "no missing-file rejection"
+    for r in missing:
+        assert cases[int(r["subj"][1:]) - 1000] == "missing"
+
+
+def test_file_redirect_chain_collapses_recursively(spark):
+    """collapse_redirect_chains resolves multi-hop chains to the final
+    target (the FilePage recursion, :977-981) and terminates on cycles
+    instead of recursing forever."""
+    from pywdcollections_spark.operators.validate import collapse_redirect_chains
+
+    redirects = spark.createDataFrame(
+        [("a.jpg", "b.jpg"), ("b.jpg", "c.jpg"), ("c.jpg", "d.jpg"),
+         ("x.jpg", "y.jpg"), ("y.jpg", "x.jpg")],       # 3-hop chain + cycle
+        "from_title string, to_title string")
+    got = {r["from_title"]: r["to_title"]
+           for r in collapse_redirect_chains(redirects).collect()}
+    assert got["a.jpg"] == "d.jpg"      # recursion past 2 hops
+    assert got["b.jpg"] == "d.jpg"
+    assert got["x.jpg"] in ("x.jpg", "y.jpg")   # cycle: terminates
+
+
 def test_full_sources_map_provenance(spark):
     """Any wiki site — not just the fixture's en/fr/de — resolves a
     site_qid through the provenance join (the reference's ~330-row
