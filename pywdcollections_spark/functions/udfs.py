@@ -66,7 +66,9 @@ def wikilink_mentions_udf(vals: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def coord_named_normalize_udf(vals: pd.Series) -> pd.Series:
-    return vals.map(normalize_named_coordinate)
+    # None-safe: the caller NULL-gates non-625 rows inside the argument
+    return vals.map(lambda v: normalize_named_coordinate(v)
+                    if v is not None else None)
 
 
 @F.pandas_udf(T.StringType())
