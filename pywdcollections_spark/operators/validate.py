@@ -155,9 +155,14 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     # one-hop category-redirect resolution (:966-967): the resolved
     # title feeds both the exists check and the claim target
     if commons_redirects is not None:
+        # exactly ONE target per from_title: the reference's per-title
+        # redirect cache can only hold one mapping (pywikibot
+        # getCategoryRedirectTarget), so a dim carrying two targets for
+        # one title must not fan staged rows out — min(to_title) is the
+        # deterministic pick
         redir = b(commons_redirects
-                  .select(F.col("from_title").alias("r_from"),
-                          F.col("to_title").alias("r_to")).distinct())
+                  .groupBy(F.col("from_title").alias("r_from"))
+                  .agg(F.min("to_title").alias("r_to")))
         df = (df.join(redir, df["clean_cat"] == redir["r_from"], "left")
                 .drop("r_from")
                 .withColumn("resolved_cat", F.coalesce("r_to", "clean_cat"))
@@ -173,9 +178,11 @@ def validate(staged: DataFrame, spark, entities_seed: DataFrame, items: DataFram
     # check (:1164); without the dims, existence is assumed (the
     # pre-r3 behavior, kept for callers without a files dim)
     if file_redirects is not None:
+        # one resolved target per source title (same fan-out guard as
+        # the category-redirect dim above)
         fredir = b(collapse_redirect_chains(file_redirects)
-                   .select(F.col("from_title").alias("f_from"),
-                           F.col("to_title").alias("f_to")).distinct())
+                   .groupBy(F.col("from_title").alias("f_from"))
+                   .agg(F.min("to_title").alias("f_to")))
         df = (df.join(fredir, df["clean_img"] == fredir["f_from"], "left")
                 .drop("f_from")
                 .withColumn("resolved_img", F.coalesce("f_to", "clean_img"))

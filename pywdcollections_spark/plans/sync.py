@@ -97,5 +97,8 @@ def run_promotion_cycle(spark: SparkSession, pages: DataFrame,
         if n_labels:
             labels_sink.upsert(writes, keys=["qid", "lang"], order_col="rev")
     unpersist_all(out)
-    return {"entities_changed": n_changed, "labels_written": n_labels,
-            "triples": out["triples"]}
+    # counters only: the pipeline caches are released above, so handing
+    # back the lazy triples frame would silently recompute the full
+    # harvest in any consumer — callers needing triples run build_kg (or
+    # run_with_checkpoint, which commits them) directly
+    return {"entities_changed": n_changed, "labels_written": n_labels}

@@ -127,6 +127,11 @@ class ParquetUpsertSink(UpsertSink):
     def maintain(self, target_file_mb: int = 128) -> None:
         compact_parquet(self.spark, self.path, target_file_mb, self.partition_by)
 
+    #: past this many touched partitions the pruned path would build a
+    #: Catalyst OR-chain with thousands of terms (analysis cost blows up
+    #: before any scan savings); fall back to the full merge instead
+    max_literal_partitions = 1000
+
     def upsert(self, updates: DataFrame, keys: list[str], order_col: str) -> None:
         w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
         deduped = (updates.withColumn("_rn", F.row_number().over(w))
@@ -137,21 +142,28 @@ class ParquetUpsertSink(UpsertSink):
             write_atomic(deduped, self.path, self.partition_by)
             return
         if self.partition_by and set(self.partition_by) <= set(keys):
-            self._pruned_upsert(existing, updates, keys, order_col)
-            return
+            if self._pruned_upsert(existing, updates, keys, order_col):
+                return
         merged = merge_last_wins(existing, updates, keys, order_col)
         # materialize before overwriting the path the plan reads from
         write_atomic(merged.localCheckpoint(), self.path, self.partition_by)
 
     def _pruned_upsert(self, existing: DataFrame, updates: DataFrame,
-                       keys: list[str], order_col: str) -> None:
+                       keys: list[str], order_col: str) -> bool:
         """Merge only the partitions named by the update batch. The
         touched-partition list is control-plane sized (one row per
         partition, NOT per record); the literal filter it builds is
-        what pushes directory-level partition pruning into the scan."""
+        what pushes directory-level partition pruning into the scan.
+        Returns False when the caller should run the full merge instead
+        (batch touches more partitions than the literal-predicate cap);
+        an EMPTY batch is a committed no-op (returns True)."""
         from functools import reduce
         pcols = self.partition_by
         touched = updates.select(*pcols).distinct().collect()
+        if not touched:             # empty update batch: nothing to merge
+            return True
+        if len(touched) > self.max_literal_partitions:
+            return False            # full merge beats a 10^4-term predicate
         one = lambda r: reduce(lambda a, b: a & b,
                                [F.col(c).eqNullSafe(F.lit(r[c])) for c in pcols])
         cond = reduce(lambda a, b: a | b, [one(r) for r in touched])
@@ -162,6 +174,7 @@ class ParquetUpsertSink(UpsertSink):
         (merged.localCheckpoint().write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(*pcols).parquet(self.path))
+        return True
 
 
 def iceberg_merge_sql(table: str, keys: list[str], columns: list[str],

@@ -186,3 +186,48 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 4_000
     assert got.select("bucket").distinct().count() == 4
+
+
+def test_pruned_upsert_empty_batch_is_noop(spark, tmp_path):
+    """An empty update batch against a partitioned sink must be a
+    committed no-op, not a reduce-over-empty crash (ADVICE r3)."""
+    path = str(tmp_path / "empty_batch")
+    sink = ParquetUpsertSink(spark, path, partition_by=["site"])
+    base = spark.createDataFrame(
+        [("enwiki", "Q1", "a", 1)], "site string, qid string, v string, ts long")
+    sink.upsert(base, keys=["site", "qid"], order_col="ts")
+    empty = base.filter("ts < 0")
+    sink.upsert(empty, keys=["site", "qid"], order_col="ts")
+    got = [r.asDict() for r in sink.read().collect()]
+    assert got == [{"site": "enwiki", "qid": "Q1", "v": "a", "ts": 1}]
+
+
+def test_pruned_upsert_caps_literal_predicate(spark, tmp_path):
+    """Past max_literal_partitions touched partitions the pruned path
+    falls back to the full merge (VERDICT r3 #5: a 10^4-term OR-chain
+    costs more in Catalyst analysis than the pruning saves) — results
+    stay last-wins either side of the boundary."""
+    path = str(tmp_path / "cap_tbl")
+    sink = ParquetUpsertSink(spark, path, partition_by=["site"])
+    sink.max_literal_partitions = 3      # boundary small enough to test
+    base = spark.createDataFrame(
+        [(f"s{i}", f"Q{i}", "old", 1) for i in range(6)],
+        "site string, qid string, v string, ts long")
+    sink.upsert(base, keys=["site", "qid"], order_col="ts")
+
+    # over the cap (4 partitions > 3): full-merge fallback
+    over = spark.createDataFrame(
+        [(f"s{i}", f"Q{i}", "new", 2) for i in range(4)],
+        "site string, qid string, v string, ts long")
+    sink.upsert(over, keys=["site", "qid"], order_col="ts")
+    got = {r["site"]: r["v"] for r in sink.read().collect()}
+    assert got == {f"s{i}": ("new" if i < 4 else "old") for i in range(6)}
+
+    # at the cap (3 partitions): pruned path still runs
+    at = spark.createDataFrame(
+        [(f"s{i}", f"Q{i}", "newer", 3) for i in range(3)],
+        "site string, qid string, v string, ts long")
+    sink.upsert(at, keys=["site", "qid"], order_col="ts")
+    got = {r["site"]: r["v"] for r in sink.read().collect()}
+    assert got == {"s0": "newer", "s1": "newer", "s2": "newer",
+                   "s3": "new", "s4": "old", "s5": "old"}

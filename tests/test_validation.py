@@ -148,3 +148,38 @@ def test_full_sources_map_provenance(spark):
     assert got == {"eswiki": 8449, "itwiki": 11920,
                    "jawiki": 177837, "be_x_oldwiki": 8937989}
     assert SOURCE_SITES["enwiki"] == 328
+
+
+def test_redirect_dim_with_duplicate_targets_does_not_fan_out(spark):
+    """A redirect dim carrying TWO targets for one from_title must not
+    duplicate staged rows through the dim join (ADVICE r3): the
+    reference's per-title cache holds exactly one mapping, so the
+    engine collapses to one deterministic target (min) per title."""
+    from pywdcollections_spark.operators.validate import validate
+
+    staged = spark.createDataFrame(
+        [("Q1", "P373", "Old name", "string", "enwiki", "u1", "2024-01-01"),
+         ("Q1", "P18", "pic.jpg", "string", "enwiki", "u1", "2024-01-01")],
+        "subj string, pred string, obj_raw string, datatype string, "
+        "source string, url string, warc_ts string")
+    seed = spark.createDataFrame([("Q1", None)], "qid string, P17 string")
+    items = spark.createDataFrame([], "qid string")
+    p31 = spark.createDataFrame([], "qid string, p31 long")
+    p279 = spark.createDataFrame([], "class_qid long, super_qid long")
+    cats = spark.createDataFrame([("A target",), ("B target",)], "title string")
+    # duplicate from_title -> two different targets, in BOTH redirect dims
+    cat_redir = spark.createDataFrame(
+        [("Old name", "B target"), ("Old name", "A target")],
+        "from_title string, to_title string")
+    files = spark.createDataFrame([("a.jpg",), ("b.jpg",)], "title string")
+    file_redir = spark.createDataFrame(
+        [("pic.jpg", "b.jpg"), ("pic.jpg", "a.jpg")],
+        "from_title string, to_title string")
+
+    out = validate(staged, spark, seed, items, p31, p279, cats,
+                   commons_redirects=cat_redir, commons_files=files,
+                   file_redirects=file_redir).collect()
+    assert len(out) == 2                       # no fan-out
+    by_pred = {r["pred"]: r for r in out}
+    assert by_pred["P373"].obj_norm == "A target"   # min(to_title), exists
+    assert by_pred["P18"].obj_norm == "a.jpg"
