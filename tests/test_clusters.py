@@ -24,3 +24,33 @@ def test_two_components_stay_separate(spark):
 def test_cycle_terminates(spark):
     got = _run(spark, [(1, 2), (2, 3), (3, 1)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_converges_in_logarithmic_rounds(spark):
+    """The alternating large-star/small-star rounds (VERDICT r3 #4)
+    must close a long-chain component in ~log^2 rounds, not
+    diameter rounds: a 120-hop chain (diameter 120) labels correctly
+    in <=8 rounds where per-round label propagation would need 120."""
+    stats = {}
+    pairs = [(i, i + 1) for i in range(1, 121)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster"]
+           for r in near_dup_clusters(df, stats=stats).collect()}
+    assert got == {i: 1 for i in range(1, 122)}
+    assert stats["converged"]
+    assert stats["rounds"] <= 8, f"took {stats['rounds']} rounds"
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    """Exhausting max_iters without the star-forest fixpoint must
+    raise (ADVICE r3): non-canonical labels diverging from the
+    transitive-closure oracle are worse than a failure."""
+    import pytest
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        near_dup_clusters(df, max_iters=0)
+
+
+def test_empty_pair_list(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert near_dup_clusters(df).count() == 0
