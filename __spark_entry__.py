@@ -50,5 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pywdcollections_spark.queries import ORACLES
+    from pywdcollections_spark.queries import ORACLES, ensure_golden_harvest_parquet
+    # the kg_harvest_fixture oracle reads a pre-written golden parquet
+    # (independent generator); make sure it exists before DuckDB runs
+    ensure_golden_harvest_parquet()
     return dict(ORACLES)

@@ -1020,19 +1020,61 @@ def corpus_sample_hash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Non-SQL-expressible entries (rows-only driver check)
+# Flagship KG pipeline vs the independent golden generator
+#
+# The oracle side is the GOLDEN fixture: testkit.validate_golden
+# re-derives the expected (subj, pred, obj_raw, obj_norm, source) rows
+# for the same (n_pages, seed, head_templates) in pure Python row loops
+# sharing NO code with the engine's set-based operators; the rows are
+# written once to a deterministic parquet that the oracle SQL reads, so
+# the driver's hash check compares the Spark pipeline against a fully
+# independent reimplementation of the reference writers
+# (pywdcollections.py:1061-1337).
 
+_GOLDEN_FIXTURE = {"n_pages": 150, "seed": 42, "head_templates": 25}
+_GOLDEN_PATH = "/tmp/pywdc_golden_kg_harvest_n150_s42_h25.parquet"
+
+
+def ensure_golden_harvest_parquet() -> str:
+    """Write the golden expected-triples parquet if absent (atomic
+    rename; content is a pure function of the fixture params). Called
+    from both the query and the oracle_sql() accessor so the file
+    exists whichever side the driver evaluates first."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    if not os.path.exists(_GOLDEN_PATH):
+        from pywdcollections_spark.testkit.validate_golden import expected_validation
+        valid, _ = expected_validation(
+            _GOLDEN_FIXTURE["n_pages"], _GOLDEN_FIXTURE["seed"],
+            head_templates=_GOLDEN_FIXTURE["head_templates"])
+        pdf = pd.DataFrame(valid)[["subj", "pred", "obj_raw", "obj_norm", "source"]]
+        tmp = f"{_GOLDEN_PATH}.tmp-{uuid.uuid4().hex}"
+        pdf.to_parquet(tmp)
+        os.replace(tmp, _GOLDEN_PATH)
+    return _GOLDEN_PATH
+
+
+@_reg("kg_harvest_fixture", f"""
+SELECT subj, pred, obj_raw, obj_norm, source
+FROM read_parquet('{_GOLDEN_PATH}')
+""")
 def kg_harvest_fixture(spark, sf_dir):
     """Flagship KG pipeline over the deterministic fixture pages table
-    (BASELINE.json north_rule). Not SQL-expressible (pandas-UDF
-    template parsing); the pytest suite holds the exact-parity check."""
+    (BASELINE.json north_rule), hash-checked against the independent
+    golden-generator parquet (see ensure_golden_harvest_parquet)."""
     from pywdcollections_spark.config import demo_config
     from pywdcollections_spark.plans.pipeline import build_kg
     from pywdcollections_spark.testkit import spark_tables as TK
-    n = 150
-    pages = TK.pages_df(spark, n, seed=42, head_templates=25)
-    dims = TK.dim_dfs(spark, n, seed=42)
-    return build_kg(spark, pages, demo_config(), dims)["triples"]
+    ensure_golden_harvest_parquet()
+    n = _GOLDEN_FIXTURE["n_pages"]
+    pages = TK.pages_df(spark, n, seed=_GOLDEN_FIXTURE["seed"],
+                        head_templates=_GOLDEN_FIXTURE["head_templates"])
+    dims = TK.dim_dfs(spark, n, seed=_GOLDEN_FIXTURE["seed"])
+    return (build_kg(spark, pages, demo_config(), dims)["triples"]
+            .select("subj", "pred", "obj_raw", "obj_norm", "source"))
 
 
 # Multimodal feature extraction. The synthetic payload is a pure
@@ -1092,6 +1134,3 @@ def multimodal_frame_sample(spark, sf_dir):
                      "offset",
                      F.col("frame_bytes").cast("long").alias("frame_bytes"),
                      "mean")
-
-
-QUERIES["kg_harvest_fixture"] = kg_harvest_fixture
