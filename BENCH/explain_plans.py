@@ -51,6 +51,7 @@ def main():
     out = build_kg(spark, pages, demo_config(), dims, persist=True)
     out["triples"].count()  # execute so AQE finalizes (codegen ids visible)
     triples_plan = formatted(out["triples"])
+    lineage_plan = formatted(out["lineage"])
 
     # the parse stage in isolation (pipeline step 1-2): the one subtree
     # the template cache materializes
@@ -104,6 +105,12 @@ def main():
     check("mapping fan-out reads the template cache (Union over InMemoryTableScan)",
           "ArrowEvalPython" not in triples_plan.split("InMemoryRelation")[0],
           "no Python crossing outside a cache in the flagship plan")
+    # r4: the page census rides the persisted parse (outer explode +
+    # left sitelink join), so lineage must not open the pages table a
+    # second time — every parquet scan in its plan sits BEHIND a cache
+    check("lineage is one pass: no pages scan outside the parse cache",
+          "Scan parquet" not in lineage_plan.split("InMemoryRelation")[0],
+          "census + metrics both read InMemoryTableScan")
     check("embedding dedup has NO cartesian/nested-loop node",
           "BroadcastNestedLoopJoin" not in emb_plan
           and "CartesianProduct" not in emb_plan)

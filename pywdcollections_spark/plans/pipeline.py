@@ -34,7 +34,8 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
             dims: dict[str, DataFrame], n_partitions: int | None = None,
             use_html: bool = True, salt_buckets: int = 16,
             persist: bool = True,
-            persisted_out: list | None = None) -> DataFrame:
+            persisted_out: list | None = None,
+            templates_out: list | None = None) -> DataFrame:
     """pages -> staged triples (the `harvested` staging analogue).
 
     ``persist`` materializes the parsed-template rows once: the mapping
@@ -53,14 +54,27 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     handles once its outputs are written (per-bucket/per-batch callers
     must not let DISK_ONLY caches accumulate for the session lifetime,
     and must not clearCache() the whole session either).
+
+    ``templates_out``: optional accumulator for the parsed-template
+    frame. When set, the parse keeps PAGE-CENSUS rows — an outer
+    explode (template-less pages survive with null tname) and a LEFT
+    sitelink join (unlinked pages survive with null qid) — and appends
+    the frame, so lineage can count every input page from the SAME
+    single materialized pass instead of re-scanning the pages table;
+    the mapping stage filters the census rows back out, leaving staged
+    output byte-identical.
     """
     template_map = spark.createDataFrame(
         config.template_map_rows(),
         "site string, template_lc string, param_lc string, "
         "prop_key string, pred string, datatype string")
 
-    templates = P.extract_and_parse(pages, n_partitions=n_partitions, use_html=use_html)
-    templates = P.resolve_subjects(templates, dims["sitelinks"])
+    census = templates_out is not None
+    templates = P.extract_and_parse(pages, n_partitions=n_partitions,
+                                    use_html=use_html,
+                                    keep_unparsed_pages=census)
+    templates = P.resolve_subjects(templates, dims["sitelinks"],
+                                   how="left" if census else "inner")
     if persist:
         # template rows are small (html/text already dropped at the
         # parse stage) — persisting here is what keeps the parse single.
@@ -69,6 +83,11 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         templates = templates.persist(StorageLevel.DISK_ONLY)
         if persisted_out is not None:
             persisted_out.append(templates)
+    if census:
+        templates_out.append(templates)
+        # recover the inner-join / inner-explode semantics exactly
+        templates = templates.filter(F.col("tname").isNotNull()
+                                     & F.col("qid").isNotNull())
     cands = M.map_parameters(templates, template_map, dims["template_redirects"])
     if persist:
         # cands is flat strings/ints (no arrays): the in-memory columnar
@@ -100,9 +119,13 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     persisted; per-batch/per-bucket callers pass it to
     ``unpersist_all`` after their writes (see harvest docstring)."""
     persisted: list[DataFrame] = []
+    # census rows ride the persisted parse only when it IS persisted —
+    # unpersisted, the census branch would re-run the parse UDFs, which
+    # is exactly the second pass the census exists to avoid
+    templates_acc: list[DataFrame] = [] if persist else None
     staged = harvest(spark, pages, config, dims,
                      n_partitions=n_partitions, use_html=use_html, persist=persist,
-                     persisted_out=persisted)
+                     persisted_out=persisted, templates_out=templates_acc)
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],
                            dims["commons_categories"],
@@ -132,7 +155,8 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         # promotion: the copy_harvested_properties/update_item cycle
         # (pywdcollections.py:476-498,416-434) as one set-based merge
         "entities": promote_to_entities(dims["entities_seed"], triples),
-        "lineage": lineage(pages, validated),
+        "lineage": (lineage_from_parse(templates_acc[0], validated)
+                    if templates_acc else lineage(pages, validated)),
         "persisted": persisted,
     }
 
@@ -147,9 +171,33 @@ def unpersist_all(out: dict) -> None:
 def lineage(pages: DataFrame, validated: DataFrame, n_buckets: int = 64) -> DataFrame:
     """Per url-hash-bucket lineage/metrics rows — the checkpoint-resume
     unit required by the north rule (replaces the reference's
-    last_harvested/errors watermark columns, pywdcollections.py:397)."""
+    last_harvested/errors watermark columns, pywdcollections.py:397).
+    This form re-scans ``pages`` for the census (column-pruned to url);
+    build_kg uses lineage_from_parse instead whenever the parse pass is
+    persisted, so the pages table is scanned exactly once."""
     bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(n_buckets)).alias("bucket")
     pg = pages.groupBy(bucket(F.col("url"))).agg(F.count("*").alias("n_pages"))
+    tr = (validated.groupBy(bucket(F.col("url")))
+          .agg(F.count("*").alias("n_staged"),
+               F.sum(F.col("valid").cast("long")).alias("n_triples"),
+               F.sum((~F.col("valid")).cast("long")).alias("n_rejects")))
+    return (pg.join(tr, "bucket", "left")
+            .fillna(0, ["n_staged", "n_triples", "n_rejects"])
+            .withColumn("completed_at", F.current_timestamp()))
+
+
+def lineage_from_parse(templates_all: DataFrame, validated: DataFrame,
+                       n_buckets: int = 64) -> DataFrame:
+    """Single-pass lineage (VERDICT r3 #6): the page census comes from
+    the PERSISTED parse output — which carries one-or-more rows for
+    EVERY input page when harvest runs in census mode (outer explode +
+    left sitelink join) — so the bucket metrics derive entirely from
+    the one materialized pass and the pages table is never re-scanned.
+    countDistinct(url) partial-aggregates per partition before the
+    bucket shuffle; at 10^12 pages that is the cheap direction."""
+    bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(n_buckets)).alias("bucket")
+    pg = (templates_all.groupBy(bucket(F.col("url")))
+          .agg(F.countDistinct("url").alias("n_pages")))
     tr = (validated.groupBy(bucket(F.col("url")))
           .agg(F.count("*").alias("n_staged"),
                F.sum(F.col("valid").cast("long")).alias("n_triples"),

@@ -82,3 +82,27 @@ def test_full_build_outputs(spark, fixture_tables):
     promoted = (triples.groupBy("subj").count()
                 .join(ents, triples["subj"] == ents["qid"]))
     assert promoted.count() > 0
+
+
+def test_lineage_census_counts_pages_without_staged_rows(spark, fixture_tables):
+    """Single-pass lineage (VERDICT r3 #6): the page census rides the
+    persisted parse, so pages that stage NOTHING — garbage html (zero
+    templates) or a title with no sitelink — must still be counted,
+    and the staged/triple output must be unchanged by census mode."""
+    pages, dims, _ = fixture_tables
+    extra = spark.createDataFrame(
+        [("https://en.fixture.example/wiki/No_Such_Sitelink_Page",
+          "2024-01-01 00:00:00", b"<html><body>{{Infobox x|p=q}}</body></html>",
+          "{{Infobox x|p=q}}", "en"),
+         ("https://en.fixture.example/wiki/Garbage_Html_Page",
+          "2024-01-01 00:00:00", b"\xff\xfe not html at all", "", "en")],
+        "url string, warc_ts string, html binary, text string, lang string") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    both = pages.select("url", "warc_ts", "html", "text", "lang") \
+                .unionByName(extra)
+
+    out = build_kg(spark, both, demo_config(), dims)
+    baseline = build_kg(spark, pages, demo_config(), dims)
+    assert out["lineage"].agg(F.sum("n_pages")).first()[0] == N_PAGES + 2
+    # the two census-only pages contribute no staged rows
+    assert out["staged"].count() == baseline["staged"].count()
