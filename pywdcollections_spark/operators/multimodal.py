@@ -41,15 +41,38 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def _pillow():
+    """Import-time codec probe: Pillow when the environment has it,
+    None in this container (no codecs baked in). The probe — not an
+    edit — is what switches extract_media_features(real_codec=True)
+    from failing fast to real decodes in production."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_image(payload: bytes, real_codec: bool = False):
-    """STUB: a real deployment decodes with Pillow here."""
+    """Decode core. real_codec=True decodes with Pillow (grayscale
+    pixel statistics over 8 equal chunks — the same 8-dim feature
+    contract as the fake path, so downstream schemas are identical);
+    without Pillow it raises rather than silently returning fake
+    features for a real image. real_codec=False is the deterministic
+    stand-in (dims from the first 4 header bytes, features from raw
+    byte statistics) that keeps the plumbing testable in-sandbox."""
     if real_codec:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:
+        Image = _pillow()
+        if Image is None:
             raise NotImplementedError(
-                "real image decode requires Pillow; container has no codecs") from exc
-        raise NotImplementedError("real codec path not wired in this sandbox")
+                "real image decode requires Pillow; container has no codecs")
+        import io
+        img = Image.open(io.BytesIO(payload))
+        w, h = img.size
+        px = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+        chunks = np.array_split(px, 8) if px.size else [np.array([])] * 8
+        feat = [float(round(float(c.mean()) if c.size else 0.0, 4)) for c in chunks]
+        return h, w, feat
     # deterministic fake: dims from the first 4 bytes, features from
     # byte statistics over 8 equal chunks
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -62,19 +85,38 @@ def _decode_image(payload: bytes, real_codec: bool = False):
     return h, w, feat
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(media: DataFrame, real_codec: bool = False) -> DataFrame:
     """media table -> per-item feature rows (Arrow-batched).
 
-    The fake decoder is vectorized with numpy over the batch: payloads
-    are grouped by byte length and each group decodes as one stacked
-    2-D uint8 matrix (header slice + chunked column means), so the
-    Python work per batch is O(groups), not O(rows)."""
+    ``real_codec=True`` routes every payload through the Pillow decode
+    seam (_decode_image): decoding a real image is inherently per-item,
+    so that path loops rows inside the Arrow batch — the batching still
+    amortizes the Python crossing, which is where the cost sits at
+    scale. The default fake decoder is vectorized with numpy over the
+    batch: payloads are grouped by byte length and each group decodes
+    as one stacked 2-D uint8 matrix (header slice + chunked column
+    means), so the Python work per batch is O(groups), not O(rows)."""
     cols = [f.name for f in FEATURE_SCHEMA]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(columns=cols)
+                continue
+            if real_codec:
+                rows = []
+                for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                        pdf["payload"]):
+                    got = _decode_image(bytes(p), real_codec=True)
+                    if got is None:
+                        continue
+                    h, w, feat = got
+                    rows.append({"media_id": int(mid), "kind": kind,
+                                 "height": np.int32(h), "width": np.int32(w),
+                                 "n_bytes": np.int64(len(bytes(p))),
+                                 "feature": np.asarray(feat, dtype=np.float32)})
+                yield (pd.DataFrame(rows, columns=cols) if rows
+                       else pd.DataFrame(columns=cols))
                 continue
             arrs = [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf["payload"]]
             by_len: dict[int, list[int]] = {}
