@@ -33,11 +33,64 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_simhash_hamming",
+    "dedup_clusters",
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
     "text_token_counts",
     "text_fingerprint",
+    "corpus_profile_rollup",
+    "text_length_quantiles",
+    "corpus_sample_hash",
 ]
+
+
+def ann_recall(spark, sf_dir: str, nq: int = 25, copies: int = 5) -> dict:
+    """recall@5 for each approximate-ANN path vs exact brute force on
+    the planted-near-neighbor fixture (same methodology as
+    tests/test_similarity_recall.py, run at the bench SF so a recall
+    regression surfaces in BENCH_rN next to its wall time)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pywdcollections_spark.operators import similarity as SIM
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(7)
+    src = np.repeat(V[:nq], copies, axis=0)
+    noise = rng.randn(nq * copies, V.shape[1])
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    planted = src + 0.15 * np.linalg.norm(src, axis=1, keepdims=True) * noise
+    rows = [(int(emb["vec_id"][i]), [float(x) for x in V[i]])
+            for i in range(len(V))]
+    rows += [(1_000_000 + i, [float(x) for x in planted[i]])
+             for i in range(len(planted))]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < nq)
+
+    def topk_sets(df):
+        pdf = df.toPandas()
+        return {int(q): set(g["neighbor_id"].astype(int))
+                for q, g in pdf.groupby("query_id")}
+
+    exact = topk_sets(SIM.brute_force_topk(corpus, queries, "vec_id", "embedding", k=5))
+
+    def recall(approx):
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return round(hits / (5 * len(exact)), 3)
+
+    lsh = topk_sets(SIM.lsh_bucketed_topk(
+        corpus, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64,
+        probe_flips=1))
+    ivf = topk_sets(SIM.ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4))
+    cent = SIM.kmeans_centroids(corpus, "vec_id", "embedding", k=16, iters=2)
+    ivf_km = topk_sets(SIM.ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4,
+        centroids=cent))
+    return {"lsh": recall(lsh), "ivf": recall(ivf), "ivf_kmeans": recall(ivf_km)}
 
 
 def pages_parquet(spark, n_pages: int, seed: int, cache_dir: str) -> str:
@@ -107,6 +160,10 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 2)
     qtimes["kg_pipeline"] = kg["wall_s"]
 
+    t0 = time.time()
+    recall = ann_recall(spark, sf_dir)
+    recall_wall = round(time.time() - t0, 2)
+
     print(json.dumps({
         "metric": "kg_pipeline_wall_sec",
         "value": kg["wall_s"],
@@ -118,6 +175,8 @@ def main() -> None:
         "kg_triples": kg["n_triples"],
         "triples_per_sec": kg["triples_per_sec"],
         "pages_per_sec": kg["pages_per_sec"],
+        "recall_at5": recall,
+        "recall_wall_s": recall_wall,
     }))
 
 
