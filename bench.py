@@ -122,7 +122,9 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     n_parts = int(os.environ.get("SPARK_GRAFT_BENCH_NPARTS",
                                  spark.sparkContext.defaultParallelism))
     t0 = time.time()
-    pages = spark.read.parquet(path)
+    # contract schema: skips the driver-blocking footer-inference job
+    # (TK.DIM_SCHEMAS note); an Iceberg catalog supplies this in prod
+    pages = spark.read.schema(TK.PAGES_SCHEMA).parquet(path)
     dims = TK.read_dim_parquet(spark, dim_paths)
     # the benched job writes triples only -> no validated barrier
     # (plans/pipeline.py persist_validated note)

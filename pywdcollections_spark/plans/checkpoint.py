@@ -57,7 +57,8 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
                         out_dir: str, n_buckets: int = 16,
                         bucket_groups: int = 4,
                         max_groups: int | None = None,
-                        fail_before_lineage: int | None = None) -> dict:
+                        fail_before_lineage: int | None = None,
+                        **kg_kwargs) -> dict:
     """Process pages in ``bucket_groups`` commit units (each covering
     n_buckets/bucket_groups url-hash buckets). ``max_groups`` simulates
     a kill between groups; ``fail_before_lineage`` simulates a kill
@@ -77,7 +78,7 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
         if max_groups is not None and processed >= max_groups:
             break
         subset = pages_b.filter(F.col("bucket").isin(todo))
-        out = build_kg(spark, subset.drop("bucket"), config, dims)
+        out = build_kg(spark, subset.drop("bucket"), config, dims, **kg_kwargs)
         triples = out["triples"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         rejects = out["rejects"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         _write_bucketed(triples, os.path.join(out_dir, "triples"))

@@ -105,7 +105,8 @@ def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
 def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
              dims: dict[str, DataFrame], n_partitions: int | None = None,
              use_html: bool = True, persist: bool = True,
-             persist_validated: bool | None = None) -> dict[str, DataFrame]:
+             persist_validated: bool | None = None,
+             salt_buckets: int = 16) -> dict[str, DataFrame]:
     """Full pipeline. Returns staged, validated, triples (valid only),
     rejects, and the per-partition lineage/metrics table.
 
@@ -125,6 +126,7 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
     templates_acc: list[DataFrame] = [] if persist else None
     staged = harvest(spark, pages, config, dims,
                      n_partitions=n_partitions, use_html=use_html, persist=persist,
+                     salt_buckets=salt_buckets,
                      persisted_out=persisted, templates_out=templates_acc)
     validated = V.validate(staged, spark, dims["entities_seed"], dims["items"],
                            dims["target_p31"], dims["class_p279"],

@@ -39,8 +39,18 @@ def _reg(name: str, oracle: str | None):
     return deco
 
 
+#: schema memo per (sf_dir, table): parquet footer inference is a
+#: driver-blocking job per read; one inference per table per session is
+#: enough (bench runs 15+ queries over the same handful of tables)
+_SCHEMA_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(path)
+    if sch is None:
+        sch = _SCHEMA_MEMO[path] = spark.read.parquet(path).schema
+    return spark.read.schema(sch).parquet(path)
 
 
 # ---------------------------------------------------------------------------

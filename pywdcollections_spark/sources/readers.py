@@ -33,6 +33,50 @@ _JSONL_SCHEMA = T.StructType([
 ])
 
 
+#: contract schemas for the dimension tables the pipeline joins
+#: against (sitelinks / redirects / class closure / commons existence
+#: dims — SURVEY.md §2.3). Supplying them at read time skips parquet
+#: footer schema-inference, which is one driver-blocking job PER table
+#: per session (measured ~4 s of zero-task preamble across the 12 dims
+#: + pages at bench scale); at production scale the Iceberg catalog
+#: supplies the schema and inference never runs.
+DIM_SCHEMAS: dict[str, object] = {
+    "sitelinks": "site string, title string, qid string",
+    "redirects": "site string, from_title string, to_title string",
+    "template_redirects": "site string, alias_lc string, canonical_lc string",
+    "target_p31": "qid string, p31 long",
+    "class_p279": "class_qid long, super_qid long",
+    "items": "qid string",
+    "sources": "site string, site_qid long",
+    # entities_seed carries harvested-property columns that vary by
+    # collection config — schema stays inferred (or catalog-supplied)
+    "entities_seed": None,
+    "commons_categories": "title string",
+    "commons_redirects": "from_title string, to_title string",
+    "commons_files": "title string",
+    "file_redirects": "from_title string, to_title string",
+}
+
+
+def read_dims(spark: SparkSession, dims_dir: str,
+              names: list[str] | None = None) -> dict[str, DataFrame]:
+    """Load the dimension tables from ``dims_dir/dim_<name>.parquet``
+    with their contract schemas (inference only where the schema is
+    config-dependent). The redirect/file dims are optional — absent
+    directories are simply omitted and the pipeline skips those
+    checks, mirroring a deployment that has not mirrored commons."""
+    import os
+    out: dict[str, DataFrame] = {}
+    for name in (names or list(DIM_SCHEMAS)):
+        path = os.path.join(dims_dir, f"dim_{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        sch = DIM_SCHEMAS.get(name)
+        out[name] = (spark.read.schema(sch).parquet(path) if sch is not None
+                     else spark.read.parquet(path))
+    return out
+
+
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Load a pages table in the input_hint schema from ``fmt``
     ('parquet' | 'jsonl')."""

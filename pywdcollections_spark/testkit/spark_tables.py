@@ -251,4 +251,15 @@ def write_dim_parquet(spark: SparkSession, n_pages: int, seed: int,
 
 
 def read_dim_parquet(spark: SparkSession, paths: dict[str, str]) -> dict[str, DataFrame]:
-    return {name: spark.read.parquet(p) for name, p in paths.items()}
+    """Read dims with their contract schemas (sources.readers.DIM_SCHEMAS)
+    — skips the per-table footer-inference job; the fixture
+    entities_seed additionally has a known schema, so nothing here
+    infers."""
+    from pywdcollections_spark.sources.readers import DIM_SCHEMAS
+
+    def rd(name, p):
+        sch = DIM_SCHEMAS.get(name) or \
+            (ENTITIES_SEED_SCHEMA if name == "entities_seed" else None)
+        return (spark.read.schema(sch).parquet(p) if sch is not None
+                else spark.read.parquet(p))
+    return {name: rd(name, p) for name, p in paths.items()}

@@ -1,0 +1,79 @@
+"""spark-submit entrypoint (pywdcollections_spark/job.py): argument
+wiring, contract-schema dim loading, checkpointed run + resume, and
+loud failure on a missing required dim."""
+
+import json
+import os
+
+import pytest
+
+from pywdcollections_spark import job as J
+from pywdcollections_spark.sources.readers import DIM_SCHEMAS, read_dims
+from pywdcollections_spark.testkit import spark_tables as TK
+
+N = 150
+SEED = 11
+
+
+@pytest.fixture(scope="module")
+def data_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("jobdata")
+    pages_path = str(root / "pages.parquet")
+    TK.pages_df(spark, N, SEED, head_templates=20) \
+      .write.mode("overwrite").parquet(pages_path)
+    dims_dir = str(root / "dims")
+    TK.write_dim_parquet(spark, N, SEED, dims_dir)
+    return pages_path, dims_dir
+
+
+def test_job_end_to_end_and_resume(spark, data_dirs, tmp_path, capsys):
+    pages_path, dims_dir = data_dirs
+    out = str(tmp_path / "kg_out")
+    argv = ["--pages", pages_path, "--dims-dir", dims_dir, "--out", out,
+            "--n-buckets", "8", "--bucket-groups", "4"]
+    summary = J.main(argv)
+    assert summary["buckets_done"] == 8
+    assert summary["groups_processed"] == 4
+    assert summary["config"] == "cemeteries"
+    # the one stdout line is the driver-parseable JSON summary
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line)["out"] == out
+
+    triples = spark.read.parquet(os.path.join(out, "triples"))
+    assert triples.count() > 0
+    assert {"subj", "pred", "obj_norm", "bucket"} <= set(triples.columns)
+
+    # second invocation over the same --out: everything already
+    # committed -> resume-by-default processes nothing
+    again = J.main(argv)
+    assert again["groups_processed"] == 0
+    assert again["buckets_done"] == 8
+
+
+def test_job_missing_required_dim_fails_loudly(spark, data_dirs, tmp_path):
+    import shutil
+    pages_path, dims_dir = data_dirs
+    broken = str(tmp_path / "dims_broken")
+    shutil.copytree(dims_dir, broken)
+    shutil.rmtree(os.path.join(broken, "dim_sitelinks.parquet"))
+    with pytest.raises(SystemExit, match="sitelinks"):
+        J.main(["--pages", pages_path, "--dims-dir", broken,
+                "--out", str(tmp_path / "out")])
+
+
+def test_read_dims_contract_schemas(spark, data_dirs):
+    _, dims_dir = data_dirs
+    dims = read_dims(spark, dims_dir)
+    assert set(J.REQUIRED_DIMS) <= set(dims)
+    # contract schema applied verbatim where declared
+    assert [f.name for f in dims["sitelinks"].schema] == ["site", "title", "qid"]
+    assert dict(dims["target_p31"].dtypes)["p31"] == "bigint"
+    # optional commons dims present in the fixture set
+    assert "commons_redirects" in dims and "file_redirects" in dims
+    # every declared contract name round-trips (entities_seed inferred)
+    assert DIM_SCHEMAS["entities_seed"] is None
+
+
+def test_load_config_rejects_non_config():
+    with pytest.raises(TypeError, match="expected CollectionConfig"):
+        J.load_config("builtins:dict")
