@@ -123,7 +123,7 @@ def run_kg(spark, n_pages: int, seed: int = 42,
                                  spark.sparkContext.defaultParallelism))
     t0 = time.time()
     # contract schema: skips the driver-blocking footer-inference job
-    # (TK.DIM_SCHEMAS note); an Iceberg catalog supplies this in prod
+    # (sources.readers.DIM_SCHEMAS note); Iceberg supplies this in prod
     pages = spark.read.schema(TK.PAGES_SCHEMA).parquet(path)
     dims = TK.read_dim_parquet(spark, dim_paths)
     # the benched job writes triples only -> no validated barrier
