@@ -66,9 +66,17 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
     not) — both for tests. Returns progress counters."""
     done = set(completed_buckets(spark, out_dir))
     pages_b = pages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
-    per_group = n_buckets // bucket_groups
-    groups = [list(range(g * per_group, (g + 1) * per_group))
-              for g in range(bucket_groups)]
+    # contiguous chunks with the remainder spread over the first groups:
+    # EVERY bucket must land in exactly one commit unit — a plain
+    # n_buckets // bucket_groups split silently drops the last
+    # n_buckets % bucket_groups buckets (data loss, not a crash)
+    base, rem = divmod(n_buckets, bucket_groups)
+    groups, start = [], 0
+    for g in range(bucket_groups):
+        size = base + (1 if g < rem else 0)
+        if size:
+            groups.append(list(range(start, start + size)))
+        start += size
 
     processed = 0
     for gi, group in enumerate(groups):

@@ -97,3 +97,19 @@ def test_zero_page_buckets_get_lineage_rows(spark, env, tmp_path_factory):
 
     r2 = run_with_checkpoint(spark, sparse, demo_config(), dims, out_dir)
     assert r2["groups_processed"] == 0
+
+
+def test_non_divisible_bucket_groups_cover_all_buckets(spark, env, tmp_path_factory):
+    """n_buckets not divisible by bucket_groups must still assign every
+    bucket to a commit unit — the naive floor split silently dropped
+    the remainder buckets (never processed, never marked done)."""
+    pages, dims = env
+    out_dir = str(tmp_path_factory.mktemp("nondiv"))
+    r = run_with_checkpoint(spark, pages, demo_config(), dims, out_dir,
+                            n_buckets=10, bucket_groups=4)
+    assert r["buckets_done"] == 10
+    lin = spark.read.parquet(f"{out_dir}/lineage")
+    assert lin.select("bucket").distinct().count() == 10
+    # and the remainder buckets actually carry their data
+    tr = spark.read.parquet(f"{out_dir}/triples")
+    assert tr.select("bucket").distinct().count() >= 8
