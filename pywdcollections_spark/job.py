@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "spark.default.parallelism)")
     p.add_argument("--no-html", action="store_true",
                    help="parse the text column only (html absent/opaque)")
+    p.add_argument("--entities", action="store_true",
+                   help="after the triples commit, promote winners into "
+                        "the wide entity table at <out>/entities through "
+                        "the upsert sink (changed rows only; a re-run "
+                        "over unchanged triples writes nothing)")
     return p
 
 
@@ -111,6 +116,30 @@ def main(argv: list[str] | None = None) -> dict:
         n_partitions=args.n_partitions, use_html=not args.no_html,
         salt_buckets=args.salt_buckets)
     summary = {"out": args.out, "config": config.name, **summary}
+
+    if args.entities:
+        # the entity-table half of the north rule's "triple and entity
+        # tables": promote the COMMITTED triples (not the lazy pipeline
+        # handles) through the same sink seam the sync cycle uses —
+        # NULL-gated merge, changed-rows-only upsert, idempotent re-run
+        import os
+        from pywdcollections_spark.operators.promote import promote_to_entities
+        from pywdcollections_spark.plans.sync import changed_entity_rows
+        from pywdcollections_spark.sources.sinks import ParquetUpsertSink
+        sink = ParquetUpsertSink(spark, os.path.join(args.out, "entities"))
+        try:
+            current = sink.read()
+        except Exception:       # first run: seed the table
+            current = dims["entities_seed"]
+            sink.upsert(current, keys=["qid"], order_col="last_modified")
+            current = sink.read()
+        triples = spark.read.parquet(os.path.join(args.out, "triples"))
+        changed = changed_entity_rows(current, promote_to_entities(current, triples))
+        n_changed = changed.count()
+        if n_changed:
+            sink.upsert(changed, keys=["qid"], order_col="last_modified")
+        summary["entities_changed"] = n_changed
+
     print(json.dumps(summary), flush=True)
     return summary
 

@@ -50,6 +50,29 @@ def test_job_end_to_end_and_resume(spark, data_dirs, tmp_path, capsys):
     assert again["buckets_done"] == 8
 
 
+def test_job_entities_promotion_and_idempotence(spark, data_dirs, tmp_path):
+    """--entities materializes the wide entity table from the COMMITTED
+    triples through the upsert sink; a second run over the same input
+    finds zero changed rows (NULL-gated merge idempotence)."""
+    pages_path, dims_dir = data_dirs
+    out = str(tmp_path / "kg_ent")
+    argv = ["--pages", pages_path, "--dims-dir", dims_dir, "--out", out,
+            "--n-buckets", "8", "--bucket-groups", "2", "--entities"]
+    s1 = J.main(argv)
+    assert s1["entities_changed"] > 0
+    ents = spark.read.parquet(os.path.join(out, "entities"))
+    assert ents.select("qid").distinct().count() == ents.count()
+    # promoted values actually landed: some property column gained a
+    # value for a subject that appears in the committed triples
+    triples = spark.read.parquet(os.path.join(out, "triples"))
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert any(p in ents.columns for p in preds)
+
+    s2 = J.main(argv)
+    assert s2["groups_processed"] == 0
+    assert s2["entities_changed"] == 0
+
+
 def test_job_missing_required_dim_fails_loudly(spark, data_dirs, tmp_path):
     import shutil
     pages_path, dims_dir = data_dirs
