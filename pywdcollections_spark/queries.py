@@ -1029,6 +1029,71 @@ def corpus_sample_hash(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+# alias-trie scorer (north-star "batched dictionary + alias-trie
+# scorer"; operators/alias_link.py): mention -> word-boundary prefixes
+# (the trie's root-to-node paths) -> equi-join the alias dim -> longest
+# match wins, min-qid tie-break, integer cross-multiplied min_score.
+# Demo corpus: region||nation mentions against a nation+region alias
+# dim — "MIDDLE EAST division NATION_9" must resolve through the
+# 2-word alias, 'territory ...' mentions have no alias prefix (drop),
+# and long-tail mentions fall under the score threshold (drop).
+@_reg("alias_link_residue", """
+WITH m AS (
+  SELECT r_name || ' division ' || n_name AS mention
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL SELECT 'territory ' || r_name FROM region
+  UNION ALL SELECT n_name ||
+    ' one two three four five six seven eight nine ten eleven twelve'
+  FROM nation
+), a AS (
+  SELECT lower(n_name) AS alias_lc, n_nationkey::BIGINT AS qid FROM nation
+  UNION ALL SELECT lower(r_name), (100 + r_regionkey)::BIGINT FROM region
+), norm AS (
+  SELECT mention,
+         trim(regexp_replace(lower(mention),
+                             '[^\\p{L}\\p{N}]+', ' ', 'g')) AS mention_norm
+  FROM m
+), words AS (
+  SELECT mention, mention_norm, string_split(mention_norm, ' ') AS w FROM norm
+), pref AS (
+  SELECT mention, mention_norm, array_to_string(w[1:k], ' ') AS prefix
+  FROM words CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS k) ks
+  WHERE k <= len(w)
+), cand AS (
+  SELECT p.mention, a.qid,
+         length(p.prefix)::BIGINT AS matched_len,
+         length(p.mention_norm)::BIGINT AS mention_len,
+         row_number() OVER (PARTITION BY p.mention
+                            ORDER BY length(p.prefix) DESC, a.qid) AS rn
+  FROM pref p JOIN a ON p.prefix = a.alias_lc
+)
+SELECT mention, qid, matched_len, mention_len
+FROM cand WHERE rn = 1 AND matched_len * 10000 >= 1500 * mention_len
+""")
+def alias_link_residue(spark, sf_dir):
+    from pywdcollections_spark.operators.alias_link import (alias_link,
+                                                            normalize_aliases)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    m = (nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+         .select(F.concat("r_name", F.lit(" division "), "n_name")
+                 .alias("mention"))
+         .unionByName(region.select(
+             F.concat(F.lit("territory "), "r_name").alias("mention")))
+         .unionByName(nation.select(
+             F.concat("n_name", F.lit(" one two three four five six seven "
+                                      "eight nine ten eleven twelve"))
+             .alias("mention"))))
+    aliases = normalize_aliases(
+        nation.select(F.col("n_name").alias("alias"),
+                      F.col("n_nationkey").cast("long").alias("qid"))
+        .unionByName(region.select(
+            F.col("r_name").alias("alias"),
+            (F.col("r_regionkey") + 100).cast("long").alias("qid"))))
+    return alias_link(m, aliases, mention_col="mention",
+                      max_words=4, min_score=0.15)
+
+
 # ---------------------------------------------------------------------------
 # Flagship KG pipeline vs the independent golden generator
 #
