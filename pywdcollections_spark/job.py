@@ -126,15 +126,22 @@ def main(argv: list[str] | None = None) -> dict:
         from pywdcollections_spark.operators.promote import promote_to_entities
         from pywdcollections_spark.plans.sync import changed_entity_rows
         from pywdcollections_spark.sources.sinks import ParquetUpsertSink
-        sink = ParquetUpsertSink(spark, os.path.join(args.out, "entities"))
-        try:
+        entities_path = os.path.join(args.out, "entities")
+        sink = ParquetUpsertSink(spark, entities_path)
+        # explicit first-run test (ADVICE r4): a genuine read error on
+        # an EXISTING table must propagate, not silently reseed the
+        # table from entities_seed and discard accumulated state
+        if os.path.exists(entities_path):
             current = sink.read()
-        except Exception:       # first run: seed the table
+        else:                   # first run: seed the table
             current = dims["entities_seed"]
             sink.upsert(current, keys=["qid"], order_col="last_modified")
             current = sink.read()
         triples = spark.read.parquet(os.path.join(args.out, "triples"))
-        changed = changed_entity_rows(current, promote_to_entities(current, triples))
+        # localCheckpoint: the change-detection join runs once, not
+        # once for the count and again inside the upsert
+        changed = changed_entity_rows(
+            current, promote_to_entities(current, triples)).localCheckpoint()
         n_changed = changed.count()
         if n_changed:
             sink.upsert(changed, keys=["qid"], order_col="last_modified")

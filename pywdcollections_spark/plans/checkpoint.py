@@ -97,8 +97,12 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
         # data lands. EVERY bucket in todo gets a row — including
         # zero-page buckets, which would otherwise be retried forever
         todo_df = spark.createDataFrame([(b,) for b in todo], "bucket long")
+        # n_pages = distinct (url, warc_ts) snapshots — the page
+        # identity all three lineage forms share (ADVICE r4)
         lin = (todo_df
-               .join(subset.groupBy("bucket").agg(F.count("*").alias("n_pages")),
+               .join(subset.groupBy("bucket")
+                     .agg(F.countDistinct(F.struct("url", "warc_ts"))
+                          .alias("n_pages")),
                      "bucket", "left")
                .join(triples.groupBy("bucket").agg(F.count("*").alias("n_triples")),
                      "bucket", "left")

@@ -174,11 +174,17 @@ def lineage(pages: DataFrame, validated: DataFrame, n_buckets: int = 64) -> Data
     """Per url-hash-bucket lineage/metrics rows — the checkpoint-resume
     unit required by the north rule (replaces the reference's
     last_harvested/errors watermark columns, pywdcollections.py:397).
-    This form re-scans ``pages`` for the census (column-pruned to url);
-    build_kg uses lineage_from_parse instead whenever the parse pass is
-    persisted, so the pages table is scanned exactly once."""
+    This form re-scans ``pages`` for the census (column-pruned to
+    url/warc_ts); build_kg uses lineage_from_parse instead whenever the
+    parse pass is persisted, so the pages table is scanned exactly once.
+
+    A "page" is one distinct (url, warc_ts) snapshot — the SAME
+    identity lineage_from_parse and the checkpoint lineage count
+    (ADVICE r4), so both lineage forms report identical n_pages even
+    when a url appears under several warc_ts snapshots."""
     bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(n_buckets)).alias("bucket")
-    pg = pages.groupBy(bucket(F.col("url"))).agg(F.count("*").alias("n_pages"))
+    pg = (pages.groupBy(bucket(F.col("url")))
+          .agg(F.countDistinct(F.struct("url", "warc_ts")).alias("n_pages")))
     tr = (validated.groupBy(bucket(F.col("url")))
           .agg(F.count("*").alias("n_staged"),
                F.sum(F.col("valid").cast("long")).alias("n_triples"),
@@ -195,11 +201,13 @@ def lineage_from_parse(templates_all: DataFrame, validated: DataFrame,
     EVERY input page when harvest runs in census mode (outer explode +
     left sitelink join) — so the bucket metrics derive entirely from
     the one materialized pass and the pages table is never re-scanned.
-    countDistinct(url) partial-aggregates per partition before the
-    bucket shuffle; at 10^12 pages that is the cheap direction."""
+    A "page" is one distinct (url, warc_ts) snapshot, the same identity
+    ``lineage`` and the checkpoint lineage use (ADVICE r4). The
+    distinct partial-aggregates per partition before the bucket
+    shuffle; at 10^12 pages that is the cheap direction."""
     bucket = lambda col: F.pmod(F.xxhash64(col), F.lit(n_buckets)).alias("bucket")
     pg = (templates_all.groupBy(bucket(F.col("url")))
-          .agg(F.countDistinct("url").alias("n_pages")))
+          .agg(F.countDistinct(F.struct("url", "warc_ts")).alias("n_pages")))
     tr = (validated.groupBy(bucket(F.col("url")))
           .agg(F.count("*").alias("n_staged"),
                F.sum(F.col("valid").cast("long")).alias("n_triples"),

@@ -71,7 +71,12 @@ def run_promotion_cycle(spark: SparkSession, pages: DataFrame,
 
     out = build_kg(spark, pages, config, dims)
     promoted = promote_to_entities(current, out["triples"])
-    changed = changed_entity_rows(current, promoted)
+    # materialize the change-detection join ONCE: without this the
+    # count and the upsert would each re-run the qid join against the
+    # full entity table (twice per cycle at a 10^9-row table —
+    # VERDICT r4 #3); localCheckpoint also truncates lineage past the
+    # pipeline caches released below
+    changed = changed_entity_rows(current, promoted).localCheckpoint()
     n_changed = changed.count()
     if n_changed:
         # last_modified is carried over unchanged; merge_last_wins'
@@ -92,7 +97,8 @@ def run_promotion_cycle(spark: SparkSession, pages: DataFrame,
         prev_rev = 0 if "rev" not in existing.columns else \
             (existing.agg(F.max("rev")).first()[0] or 0)
         writes = (merged.filter(F.col("action").isin("add", "fix"))
-                  .drop("action").withColumn("rev", F.lit(int(prev_rev) + 1)))
+                  .drop("action").withColumn("rev", F.lit(int(prev_rev) + 1))
+                  .localCheckpoint())   # computed once: count + upsert
         n_labels = writes.count()
         if n_labels:
             labels_sink.upsert(writes, keys=["qid", "lang"], order_col="rev")

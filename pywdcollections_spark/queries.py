@@ -1107,7 +1107,28 @@ def alias_link_residue(spark, sf_dir):
 # (pywdcollections.py:1061-1337).
 
 _GOLDEN_FIXTURE = {"n_pages": 150, "seed": 42, "head_templates": 25}
-_GOLDEN_PATH = "/tmp/pywdc_golden_kg_harvest_n150_s42_h25.parquet"
+
+
+def _golden_cache_token() -> str:
+    """Content token for the cached golden parquet (ADVICE r4): the
+    filename embeds a hash of the generator SOURCE plus the uid, so a
+    semantic change to the golden generator invalidates the cache
+    instead of serving stale fixture rows, and two users on one box
+    don't collide in shared /tmp."""
+    import hashlib
+    import os
+    import pathlib
+
+    tk = pathlib.Path(__file__).parent / "testkit"
+    h = hashlib.md5()
+    for name in ("generate.py", "validate_golden.py"):
+        h.update((tk / name).read_bytes())
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return f"u{uid}_{h.hexdigest()[:10]}"
+
+
+_GOLDEN_PATH = ("/tmp/pywdc_golden_kg_harvest_n150_s42_h25_"
+                f"{_golden_cache_token()}.parquet")
 
 
 def ensure_golden_harvest_parquet() -> str:

@@ -64,6 +64,20 @@ def test_normalization_folds_punct_and_case(spark):
     assert nl == len("middle east zone")
 
 
+def test_duplicate_rows_without_key_cols_raise(spark):
+    """VERDICT r4 #4: the all-columns default key would silently
+    collapse duplicate mention rows; alias_link must fail loudly
+    instead when no key_cols identify the grain."""
+    m = _mentions(spark, "paris", "paris")
+    with pytest.raises(ValueError, match="key_cols"):
+        alias_link(m, _aliases(spark, [("paris", "Q90")]))
+    # an explicit key keeps intentional duplicates working
+    m2 = (m.withColumn("rid", F.monotonically_increasing_id()))
+    out = alias_link(m2, _aliases(spark, [("paris", "Q90")]),
+                     key_cols=["rid"])
+    assert out.count() == 2
+
+
 def test_fallback_keeps_exact_path_and_links_residue(spark):
     # minimal cands grain: one row the exact dictionary resolves, one
     # row it drops that the alias scorer rescues
@@ -99,3 +113,37 @@ def test_fallback_keeps_exact_path_and_links_residue(spark):
                                         [("Nothing", "Q0")],
                                         "alias string, qid string"))
     assert {r["url"] for r in out2.collect()} == {"u1"}
+
+
+def test_fallback_scores_every_mention_best_wins(spark):
+    """VERDICT r4 #6: the residue scorer considers ALL extracted
+    mentions, not just the first — mention #2 with the better score
+    must win; with equal scores the earliest mention keeps winning."""
+    grain = ("url string, warc_ts timestamp, site string, qid string, "
+             "template_idx int, param_idx int, prop_key string, "
+             "pred string, datatype string, val string")
+    cands = spark.createDataFrame([
+        # mention #1 has no alias at all; #2 links
+        ("u1", None, "enwiki", "Q100", 0, 0, "131", "P131", "entity",
+         "[[Someplace Unknown]] and [[Paris]]"),
+        # mention #1 scores 5/21, #2 scores 4/4 -> Lyon wins
+        ("u2", None, "enwiki", "Q200", 0, 0, "131", "P131", "entity",
+         "[[Paris More Words Here]] near [[Lyon]]"),
+        # equal perfect scores -> earliest mention (Paris) wins
+        ("u3", None, "enwiki", "Q300", 0, 0, "131", "P131", "entity",
+         "[[Paris]] or [[Lyon]]"),
+    ], grain)
+    empty_sl = spark.createDataFrame([], "site string, title string, qid string")
+    redirects = spark.createDataFrame(
+        [], "site string, from_title string, to_title string")
+    target_p31 = spark.createDataFrame([], "qid string, p31 long")
+    class_p279 = spark.createDataFrame([], "class_qid long, super_qid long")
+    constraints = spark.createDataFrame([("P131", [515])],
+                                        "pred string, constraints array<long>")
+    aliases = spark.createDataFrame([("Paris", "Q90"), ("Lyon", "Q456")],
+                                    "alias string, qid string")
+    out = link_with_alias_fallback(cands, empty_sl, redirects, target_p31,
+                                   class_p279, constraints, aliases,
+                                   min_score=0.2)
+    vals = {r["url"]: r["val"] for r in out.collect()}
+    assert vals == {"u1": "Q90", "u2": "Q456", "u3": "Q90"}

