@@ -140,6 +140,40 @@ def run_kg(spark, n_pages: int, seed: int = 42,
             "triples_per_sec": round(n_triples / wall, 1)}
 
 
+def run_job_cli(spark, n_pages: int, seed: int = 42) -> dict:
+    """Time the deployment surface (VERDICT r4 #7): the job CLI's
+    main() end-to-end — checkpointed per-bucket-group commits included
+    — plus a resume leg over the completed output, which must skip
+    every bucket. Run in-process against the active session, exactly
+    how spark-submit drives it (job.main reuses the active session);
+    the CLI's own JSON summary lines are swallowed so bench's stdout
+    stays the driver's single JSON line."""
+    import contextlib
+    import io
+
+    from pywdcollections_spark import job as J
+
+    cache_dir = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pywdc_bench")
+    path = pages_parquet(spark, n_pages, seed, cache_dir)
+    dim_dir = os.path.join(cache_dir, f"dims_v4_n{n_pages}_s{seed}")
+    TK.write_dim_parquet(spark, n_pages, seed, dim_dir)
+    out = os.path.join(cache_dir, "job_cli_out")
+    shutil.rmtree(out, ignore_errors=True)
+    argv = ["--pages", path, "--dims-dir", dim_dir, "--out", out]
+    sink = io.StringIO()
+    t0 = time.time()
+    with contextlib.redirect_stdout(sink):
+        J.main(argv)
+    wall = time.time() - t0
+    t0 = time.time()
+    with contextlib.redirect_stdout(sink):
+        s2 = J.main(argv)          # resume: all buckets committed
+    resume = time.time() - t0
+    assert s2["groups_processed"] == 0, "resume leg re-ran committed buckets"
+    return {"job_cli_wall_s": round(wall, 2),
+            "job_cli_resume_s": round(resume, 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -161,6 +195,12 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 2)
     qtimes["kg_pipeline"] = kg["wall_s"]
+
+    # deployment surface: CLI wall includes per-bucket-group checkpoint
+    # commits; the resume leg is the committed-no-op rescan cost
+    cli = run_job_cli(spark, n_pages)
+    qtimes["job_cli"] = cli["job_cli_wall_s"]
+    qtimes["job_cli_resume"] = cli["job_cli_resume_s"]
 
     t0 = time.time()
     recall = ann_recall(spark, sf_dir)

@@ -26,7 +26,19 @@ STAGE_KEY = ["subj", "source", "pred"]
 def salted_last_wins(df: DataFrame, keys: list[str], order_cols: list[str],
                      payload_cols: list[str], salt_buckets: int = 16) -> DataFrame:
     """Two-phase salted argmax: groupBy(keys+salt) max_by -> groupBy(keys)
-    max_by. Deterministic for any row order."""
+    max_by. Deterministic for any row order.
+
+    max_by with a struct payload lowers to SortAggregate (string/struct
+    buffers are not hash-aggregable). That is DELIBERATE, not an
+    oversight: a hash-aggregable rewrite (packed-long order key, two
+    salted HashAggregates, shuffle-hash join-back — no sorts) was built
+    and A/B-measured in round 5 at 1.5M pages / 4 pinned cores,
+    interleaved ABBA: sort-based 88.8/91.3 s vs hash+join 104.9/140.1 s.
+    The staging key is mostly UNIQUE (one save per (subj, source, pred)
+    for most pages), so hash aggregation gets no reduction — it builds
+    a hash table of nearly every row and falls back to sort-based
+    spilling, then pays a 2.5M-row hash-join build on top; the two
+    straight sorts are cheaper. See BENCH/BASELINE.md round-5 notes."""
     ordk = F.struct(*[F.col(c) for c in order_cols])
     pay = F.struct(*[F.col(c) for c in order_cols + payload_cols])
     salted = df.withColumn(
