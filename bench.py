@@ -43,6 +43,10 @@ HEADLINE = [
     "corpus_profile_rollup",
     "text_length_quantiles",
     "corpus_sample_hash",
+    "decontam_ngram",
+    "quality_repetition",
+    "pii_scrub",
+    "pack_sequences",
 ]
 
 
@@ -130,7 +134,9 @@ def run_kg(spark, n_pages: int, seed: int = 42,
     # (plans/pipeline.py persist_validated note)
     result = build_kg(spark, pages, demo_config(), dims,
                       n_partitions=n_parts,
-                      persist_validated=False)
+                      persist_validated=False,
+                      salt_buckets=int(os.environ.get(
+                          "SPARK_GRAFT_SALT_BUCKETS", "16")))
     result["triples"].write.mode("overwrite").parquet(out)
     wall = time.time() - t0
     n_triples = spark.read.parquet(out).count()

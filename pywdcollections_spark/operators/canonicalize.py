@@ -41,6 +41,13 @@ def salted_last_wins(df: DataFrame, keys: list[str], order_cols: list[str],
     straight sorts are cheaper. See BENCH/BASELINE.md round-5 notes."""
     ordk = F.struct(*[F.col(c) for c in order_cols])
     pay = F.struct(*[F.col(c) for c in order_cols + payload_cols])
+    if salt_buckets <= 1:
+        # single-phase: max_by partial-aggregates map-side, so a hot key
+        # reaches the exchange as at most one row PER MAP TASK — the
+        # skew taming the salt provides, without the second exchange.
+        phase = df.groupBy(*keys).agg(F.max_by(pay, ordk).alias("_w"))
+        return phase.select(*keys, *[F.col(f"_w.{c}").alias(c)
+                                     for c in order_cols + payload_cols])
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)))
     phase1 = (salted.groupBy(*keys, "_salt")

@@ -1,0 +1,170 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond
+dedup/similarity: benchmark decontamination, repetition-based quality
+(Gopher-style), PII scrubbing, and sequence packing.
+
+All JVM-side built-ins (no Python crossings); every operator has a
+DuckDB oracle twin in queries.py. Scale notes per operator below —
+each is a one-or-two-shuffle shape with map-side partial aggregation,
+no driver actions, no all-pairs joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pywdcollections_spark.operators.textops import md5_hash64, word_shingles, words
+
+
+def contamination_hits(docs: DataFrame, benchmark: DataFrame,
+                       id_col: str, text_col: str,
+                       bench_text_col: str | None = None,
+                       n: int = 2) -> DataFrame:
+    """Benchmark decontamination, hit side: docs sharing >= 1 word
+    n-gram with any benchmark text -> (doc, n_hits = distinct matched
+    shingles). The industry recipe (eval-set n-gram overlap; 13-gram at
+    production n, parameterized here so small fixtures exercise it).
+
+    Scale: the benchmark side is eval sets — tiny next to a 100 TB
+    corpus — so its DISTINCT shingle set broadcasts and the probe is a
+    map-side hash join over the exploded corpus shingles; the only
+    data-sized exchange is the per-doc count (uniform key, partial
+    agg). No corpus-side distinct before the join: array_distinct
+    dedups shingles inside each row first, so the explode carries at
+    most one row per (doc, shingle)."""
+    bench_text = bench_text_col or text_col
+    bsh = (benchmark
+           .select(F.explode(word_shingles(F.col(bench_text), n)).alias("shingle"))
+           .distinct())
+    dsh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"))
+    return (dsh.join(bsh, "shingle")
+            .groupBy("doc").agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str, text_col: str,
+                  bench_text_col: str | None = None,
+                  n: int = 2, max_hits: int = 0) -> DataFrame:
+    """Drop documents whose benchmark-shingle overlap exceeds
+    ``max_hits`` (default 0: any overlap contaminates). Left-anti join
+    against the hit list — docs with no hits pass untouched."""
+    hits = contamination_hits(docs, benchmark, id_col, text_col,
+                              bench_text_col=bench_text_col, n=n)
+    flagged = hits.filter(F.col("n_hits") > max_hits) \
+                  .withColumnRenamed("doc", id_col)
+    return docs.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition features per document: duplicate-word
+    fraction, duplicate-line fraction, and the most frequent word
+    bigram's token coverage. High values mark boilerplate / spam /
+    keyword-stuffed pages.
+
+    Scale: the row-local fractions ride the scan; the top-bigram count
+    is explode -> count(doc, gram) -> max(doc) — two exchanges with
+    map-side partial aggregation on uniform keys (gram strings hash
+    uniformly; a page is its own partition key universe). No window
+    over the whole corpus, no driver action."""
+    t = F.col(text_col)
+    ws = words(t)
+    lines = F.filter(F.transform(F.split(t, "\n", -1), lambda l: F.trim(l)),
+                     lambda l: l != "")
+    grams = word_shingles(t, 2)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_words"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+        grams.alias("_grams"))
+    top = (base.select("doc", F.explode("_grams").alias("gram"))
+           .groupBy("doc", "gram").agg(F.count("*").alias("cnt"))
+           .groupBy("doc").agg(F.max("cnt").alias("top_bigram_cnt")))
+    out = (base.drop("_grams")
+           .join(top, "doc", "left")
+           .fillna(0, ["top_bigram_cnt"]))
+    dup_word = F.when(F.col("n_words") > 0,
+                      F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 6)) \
+                .otherwise(F.lit(0.0))
+    dup_line = F.when(F.col("n_lines") > 0,
+                      F.round(1 - F.col("n_distinct_lines") / F.col("n_lines"), 6)) \
+                .otherwise(F.lit(0.0))
+    # fraction of bigram SLOTS (n_words - 1) the top bigram occupies —
+    # bounded [0, 1] ("a a a a" -> 3/3 = 1.0), unlike token coverage
+    # which double-counts overlapping grams
+    top_frac = F.when(F.col("n_words") > 1,
+                      F.round(F.col("top_bigram_cnt") / (F.col("n_words") - 1), 6)) \
+                .otherwise(F.lit(0.0))
+    return out.select(
+        "doc",
+        F.col("n_words").cast("long").alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        dup_line.alias("dup_line_frac"),
+        F.col("top_bigram_cnt").cast("long").alias("top_bigram_cnt"),
+        top_frac.alias("top_bigram_frac"))
+
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: no backrefs, no lookaround, greedy quantifiers over
+# disjoint character classes (leftmost-first == leftmost-longest here).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / +international phone numbers,
+    returning per-doc match counts and the scrubbed text + its md5
+    (the hash is what downstream exact-dedup keys on, so scrubbing
+    must happen BEFORE dedup or near-identical pages differing only in
+    contact footers stay distinct).
+
+    Scale: pure row-local regexp built-ins inside whole-stage codegen;
+    no shuffle at all — the operator fuses into whatever scan feeds
+    it."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+            IPV4_RE, "[IP]"),
+        PHONE_RE, "[PHONE]")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+def pack_sequences(df: DataFrame, id_col: str, token_col: str,
+                   ctx_tokens: int = 2048, n_buckets: int = 64) -> DataFrame:
+    """Token-offset sequence packing: assign each document a stable
+    (bucket, shard, start_offset) so a training job can stream shard
+    files of ~ctx_tokens-sized windows. Documents are laid out
+    contiguously per bucket in id order; a doc's shard is the window
+    its FIRST token lands in (straddling docs split at training time —
+    the standard concat-then-chunk packing).
+
+    Scale: a GLOBAL running sum would be one window over one ordering
+    — a single-task bottleneck at corpus scale. Instead docs hash into
+    ``n_buckets`` independent lanes (md5-derived, engine-portable) and
+    the running sum is per-bucket: the window runs in parallel across
+    buckets, each lane is its own output stream, and adding lanes is
+    how the layout scales out. Determinism: (bucket, doc) is a total
+    order, so offsets are bit-stable across runs and engines."""
+    bucket = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.col(token_col).cast("long").alias("n_tokens"),
+                     bucket.cast("long").alias("bucket"))
+    w = (Window.partitionBy("bucket").orderBy("doc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc", "bucket", "n_tokens",
+        (cum - F.col("n_tokens")).cast("long").alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(ctx_tokens)).cast("long").alias("shard"))

@@ -1029,6 +1029,138 @@ def corpus_sample_hash(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+# non-distinct word bigrams (the counting twin of _sh_sql, which dedups)
+_GRAMS_SQL = ("list_transform(range(1, greatest(len(ws), 1)), "
+              "i -> ws[i] || ' ' || ws[i+1])")
+
+
+# benchmark decontamination: docs sharing any word 2-gram with the
+# benchmark set (here: every 20th doc stands in for an eval set) are
+# flagged with their distinct-shingle hit count. Scale shape: tiny
+# benchmark side -> broadcast; corpus side dedups shingles in-row
+# before the explode (operators/corpusops.py).
+@_reg("decontam_ngram", f"""
+WITH d AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+bsh AS (SELECT DISTINCT unnest({_GRAMS_SQL}) AS shingle FROM d WHERE doc_id % 20 = 0),
+dsh AS (SELECT doc_id AS doc, unnest(list_distinct({_GRAMS_SQL})) AS shingle FROM d)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM dsh JOIN bsh USING (shingle)
+GROUP BY doc
+""")
+def decontam_ngram(spark, sf_dir):
+    from pywdcollections_spark.operators.corpusops import contamination_hits
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination_hits(d, bench, "doc_id", "text", n=2) \
+        .select("doc", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+# Gopher-style repetition features: duplicate-word / duplicate-line
+# fractions + top-bigram slot coverage (operators/corpusops.py)
+@_reg("quality_repetition", f"""
+WITH d AS (SELECT doc_id, text, {_WS_SQL} AS ws FROM documents),
+b AS (SELECT doc_id, ws,
+        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                    l -> l <> '') AS lines,
+        {_GRAMS_SQL} AS grams
+      FROM d),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(cnt) AS top_bigram_cnt FROM cnt GROUP BY 1)
+SELECT b.doc_id AS doc,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CASE WHEN len(ws) > 0
+            THEN ROUND(1 - len(list_distinct(ws)) / len(ws), 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CASE WHEN len(lines) > 0
+            THEN ROUND(1 - len(list_distinct(lines)) / len(lines), 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CASE WHEN len(ws) > 1
+            THEN ROUND(COALESCE(top_bigram_cnt, 0) / (len(ws) - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM b LEFT JOIN top USING (doc_id)
+""")
+def quality_repetition(spark, sf_dir):
+    from pywdcollections_spark.operators.corpusops import repetition_stats
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+# PII scrubbing: the fixture corpus carries no PII, so both sides
+# append deterministic contact footers to a subset of docs first —
+# the oracle then checks counts AND the scrubbed-text md5 (regex
+# dialect parity: patterns restricted to Java==RE2 syntax,
+# operators/corpusops.py EMAIL_RE/IPV4_RE/PHONE_RE)
+from pywdcollections_spark.operators.corpusops import (  # noqa: E402
+    EMAIL_RE, IPV4_RE, PHONE_RE)
+
+_PII_SQL = ("""
+WITH aug AS (
+  SELECT doc_id, text ||
+    (CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 11 = 0
+          THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1 tel +4915123456'
+               || (doc_id % 10)::VARCHAR
+          ELSE '' END) AS text
+  FROM documents)
+SELECT doc_id AS doc,
+       CAST(len(regexp_extract_all(text, '""" + EMAIL_RE + """')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '""" + IPV4_RE + """')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '""" + PHONE_RE + """')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '""" + EMAIL_RE + """', '[EMAIL]', 'g'),
+           '""" + IPV4_RE + """', '[IP]', 'g'),
+           '""" + PHONE_RE + """', '[PHONE]', 'g')) AS scrubbed_md5
+FROM aug
+""")
+
+
+@_reg("pii_scrub", _PII_SQL)
+def pii_scrub_q(spark, sf_dir):
+    from pywdcollections_spark.operators.corpusops import pii_scrub
+    d = _t(spark, sf_dir, "documents")
+    footer = (
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")))
+    footer2 = (
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".1 tel +4915123456"),
+                        (F.col("doc_id") % 10).cast("string"))).otherwise(F.lit("")))
+    aug = d.select("doc_id", F.concat("text", footer, footer2).alias("text"))
+    return pii_scrub(aug, "doc_id", "text") \
+        .select("doc", "n_emails", "n_ipv4", "n_phones", "scrubbed_md5")
+
+
+# sequence packing: stable (bucket, shard, start_offset) layout via a
+# per-bucket running token sum — parallel across hash lanes, never a
+# global single-partition window (operators/corpusops.py)
+@_reg("pack_sequences", f"""
+WITH t AS (
+  SELECT doc_id AS doc,
+         CAST(len({_WS_SQL}) AS BIGINT) AS n_tokens,
+         ({_H64.format(s='doc_id::VARCHAR')} % 8) AS bucket
+  FROM documents)
+SELECT doc, bucket, n_tokens,
+       CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 128) AS BIGINT) AS shard
+FROM t
+WINDOW w AS (PARTITION BY bucket ORDER BY doc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def pack_sequences_q(spark, sf_dir):
+    from pywdcollections_spark.operators.corpusops import pack_sequences
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(words(F.col("text"))).alias("ws_tokens"))
+    return pack_sequences(toks, "doc_id", "ws_tokens",
+                          ctx_tokens=128, n_buckets=8)
+
+
 # alias-trie scorer (north-star "batched dictionary + alias-trie
 # scorer"; operators/alias_link.py): mention -> word-boundary prefixes
 # (the trie's root-to-node paths) -> equi-join the alias dim -> longest
