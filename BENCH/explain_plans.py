@@ -111,21 +111,37 @@ def main():
     check("lineage is one pass: no pages scan outside the parse cache",
           "Scan parquet" not in lineage_plan.split("InMemoryRelation")[0],
           "census + metrics both read InMemoryTableScan")
-    # r5: canonicalize's SortAggregate pair is DELIBERATE — the
+    # r5: canonicalize's SortAggregate shape is DELIBERATE — the
     # hash-aggregable rewrite (packed order key + shuffle-hash
     # join-back) measured 15-50% slower on the mostly-unique staging
     # key (interleaved ABBA A/B, BENCH/BASELINE.md round-5). Pin the
     # operator's OWN plan (the flagship text overcounts via cached-
-    # subtree reprints): two salted phases, each partial+final, and
-    # crucially NO join node (the slower rewrite's signature).
+    # subtree reprints). Default = single phase: partial+final
+    # SortAggregate around ONE exchange (map-side combine is the skew
+    # taming) and NO join node (the slower rewrite's signature).
     from pywdcollections_spark.operators.canonicalize import salted_last_wins
-    slw_plan = formatted(salted_last_wins(
-        spark.range(10).selectExpr("id as k", "id as o", "string(id) as v"),
-        keys=["k"], order_cols=["o"], payload_cols=["v"]))
-    slw_tree = slw_plan.split("\n\n")[0]
-    check("canonicalize: two salted SortAggregate phases, no join-back",
-          slw_tree.count("SortAggregate") == 4 and "Join" not in slw_tree,
-          f"{slw_tree.count('SortAggregate')} SortAggregate nodes "
+    # key must not be provably unique (a range id key lets the planner
+    # elide the exchange entirely and hides the shape under audit)
+    slw_in = spark.range(100).selectExpr(
+        "id % 5 as k", "id as o", "string(id) as v")
+    slw_tree = formatted(salted_last_wins(
+        slw_in, keys=["k"], order_cols=["o"],
+        payload_cols=["v"])).split("\n\n")[0]
+    check("canonicalize default: single-phase max_by (partial+final, one "
+          "exchange, no join)",
+          slw_tree.count("SortAggregate") == 2
+          and slw_tree.count("Exchange") == 1 and "Join" not in slw_tree,
+          f"{slw_tree.count('SortAggregate')} SortAggregate nodes, "
+          f"{slw_tree.count('Exchange')} Exchange, join-free")
+    # the explicit salted path stays first-class: two phases, each
+    # partial+final, still join-free
+    slw16_tree = formatted(salted_last_wins(
+        slw_in, keys=["k"], order_cols=["o"], payload_cols=["v"],
+        salt_buckets=16)).split("\n\n")[0]
+    check("canonicalize salted path: two salted SortAggregate phases, no join-back",
+          slw16_tree.count("SortAggregate") == 4
+          and slw16_tree.count("Exchange") == 2 and "Join" not in slw16_tree,
+          f"{slw16_tree.count('SortAggregate')} SortAggregate nodes "
           "(2 logical phases x partial+final), join-free")
     check("embedding dedup has NO cartesian/nested-loop node",
           "BroadcastNestedLoopJoin" not in emb_plan

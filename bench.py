@@ -136,7 +136,7 @@ def run_kg(spark, n_pages: int, seed: int = 42,
                       n_partitions=n_parts,
                       persist_validated=False,
                       salt_buckets=int(os.environ.get(
-                          "SPARK_GRAFT_SALT_BUCKETS", "16")))
+                          "SPARK_GRAFT_SALT_BUCKETS", "1")))
     result["triples"].write.mode("overwrite").parquet(out)
     wall = time.time() - t0
     n_triples = spark.read.parquet(out).count()

@@ -7,12 +7,22 @@ page the LAST save of a (subject, source, pred) wins
 and (template_idx, param_idx) the save order.
 
 Skew: one head subject carries ~10^4x the median saves (FIXTURES.md
-skew clause). ``max_by`` partial-aggregates map-side, but we still run
-the explicit two-phase SALTED aggregation the north rule requires —
-phase 1 reduces each hot key inside salt buckets before any single
-reducer sees the whole key. The same helper backs the error/metrics
-``collect_list`` aggregations where partial aggregation does NOT
-shrink data and salting is genuinely load-bearing.
+skew clause). The skew handling is EXPLICIT either way (north rule):
+
+- default ``salt_buckets=1``: single-phase ``max_by``. The argmax
+  buffer is partially aggregable, so a hot key leaves each map task as
+  AT MOST ONE pre-reduced row — the exchange carries <= n_map_tasks
+  rows per key regardless of skew. That is the same hot-key taming a
+  salt provides, without the second full-data exchange.
+- ``salt_buckets=N``: explicit two-phase salted argmax, for
+  aggregations whose buffers partial aggregation cannot shrink
+  (collect_list-style) or engines without map-side combine. Kept
+  first-class and parity-tested (tests/test_skew.py).
+
+Round-5 A/B (1.5M pages, 4 pinned cores, interleaved ABBA, full KG
+job): salted16 walls 138.8/137.6 s vs single-phase 134.0/136.4 s —
+single-phase wins both pairs (~2%), identical 2,518,965 triples in
+all four legs; hence the default. See BENCH/BASELINE.md round-5.
 """
 
 from __future__ import annotations
@@ -24,9 +34,11 @@ STAGE_KEY = ["subj", "source", "pred"]
 
 
 def salted_last_wins(df: DataFrame, keys: list[str], order_cols: list[str],
-                     payload_cols: list[str], salt_buckets: int = 16) -> DataFrame:
-    """Two-phase salted argmax: groupBy(keys+salt) max_by -> groupBy(keys)
-    max_by. Deterministic for any row order.
+                     payload_cols: list[str], salt_buckets: int = 1) -> DataFrame:
+    """Skew-aware argmax, deterministic for any row order: single-phase
+    map-side-combined ``max_by`` by default, explicit two-phase salted
+    (groupBy(keys+salt) max_by -> groupBy(keys) max_by) when
+    ``salt_buckets`` > 1 (see module docstring for the A/B).
 
     max_by with a struct payload lowers to SortAggregate (string/struct
     buffers are not hash-aggregable). That is DELIBERATE, not an
@@ -59,7 +71,7 @@ def salted_last_wins(df: DataFrame, keys: list[str], order_cols: list[str],
                                   for c in order_cols + payload_cols])
 
 
-def canonicalize(cands: DataFrame, salt_buckets: int = 16) -> DataFrame:
+def canonicalize(cands: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """Candidate saves -> staged triples (the `harvested` analogue):
     subj, pred, obj_raw, datatype, source, url, warc_ts."""
     df = (cands

@@ -2,8 +2,10 @@
 
 pages scan -> repartition(url-hash) -> extract_text -> parse_templates
 -> explode -> subject join (J1) -> template_map broadcast join ->
-coercions -> entity linking (J4/J5/J6) -> salted last-wins
-canonicalization (A5) -> validation (§2.8) -> triples + lineage.
+coercions -> entity linking (J4/J5/J6) -> skew-aware last-wins
+canonicalization (A5; map-side-combined max_by by default, explicit
+salted two-phase via salt_buckets — operators/canonicalize.py) ->
+validation (§2.8) -> triples + lineage.
 
 One linear declarative plan; Catalyst handles pushdown/pruning, AQE
 handles runtime coalescing and join skew.
@@ -32,7 +34,7 @@ def prop_constraints_df(spark: SparkSession) -> DataFrame:
 
 def harvest(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
             dims: dict[str, DataFrame], n_partitions: int | None = None,
-            use_html: bool = True, salt_buckets: int = 16,
+            use_html: bool = True, salt_buckets: int = 1,
             persist: bool = True,
             persisted_out: list | None = None,
             templates_out: list | None = None) -> DataFrame:
@@ -106,7 +108,7 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
              dims: dict[str, DataFrame], n_partitions: int | None = None,
              use_html: bool = True, persist: bool = True,
              persist_validated: bool | None = None,
-             salt_buckets: int = 16) -> dict[str, DataFrame]:
+             salt_buckets: int = 1) -> dict[str, DataFrame]:
     """Full pipeline. Returns staged, validated, triples (valid only),
     rejects, and the per-partition lineage/metrics table.
 
