@@ -39,6 +39,13 @@ _DEFAULT_CONFS = {
     # local-scale inputs are ~100s of MB; smaller splits keep every core
     # scanning (at cluster scale with TB inputs, raise back to 128m)
     "spark.sql.files.maxPartitionBytes": "16m",
+    # shuffle/persist/broadcast block codec, A/B-able per environment:
+    # zstd trades CPU (which scales) for bytes through the contended
+    # memory/disk/network path (see BENCH/BASELINE.md codec A/B)
+    "spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+    # whether serialized persist blocks (the DISK_ONLY template cache)
+    # are compressed with the io codec (Spark default: false)
+    "spark.rdd.compress": os.environ.get("SPARK_GRAFT_RDD_COMPRESS", "false"),
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
