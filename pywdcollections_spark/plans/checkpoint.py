@@ -55,15 +55,30 @@ def _write_bucketed(df: DataFrame, path: str) -> None:
 def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
                         config: CollectionConfig, dims: dict[str, DataFrame],
                         out_dir: str, n_buckets: int = 16,
-                        bucket_groups: int = 4,
+                        bucket_groups: int | None = None,
+                        pages_per_group: int = 500_000,
                         max_groups: int | None = None,
                         fail_before_lineage: int | None = None,
                         **kg_kwargs) -> dict:
     """Process pages in ``bucket_groups`` commit units (each covering
-    n_buckets/bucket_groups url-hash buckets). ``max_groups`` simulates
-    a kill between groups; ``fail_before_lineage`` simulates a kill
-    INSIDE group ``i``'s data->lineage window (data written, lineage
-    not) — both for tests. Returns progress counters."""
+    n_buckets/bucket_groups url-hash buckets). ``bucket_groups=None``
+    (default) sizes the commit units to the INPUT: enough groups that
+    each covers ~``pages_per_group`` pages, so a small input runs as
+    one commit instead of paying the per-group fixed cost (plan
+    re-analysis, template-cache persist, overwrite commit, lineage
+    append — measured ~9 s/group at bench scale, BENCH/BASELINE.md
+    round-6) eight times over. Groups are COMMIT batches only — the
+    resume unit is the bucket, so re-running the same --out with a
+    different grouping is safe: completed buckets are skipped whatever
+    group they once belonged to. ``max_groups`` simulates a kill
+    between groups; ``fail_before_lineage`` simulates a kill INSIDE
+    group ``i``'s data->lineage window (data written, lineage not) —
+    both for tests. Returns progress counters."""
+    if bucket_groups is None:
+        # parquet row-count is footer metadata — no data scan
+        n_pages = pages.count()
+        bucket_groups = min(n_buckets,
+                            max(1, -(-n_pages // max(1, pages_per_group))))
     done = set(completed_buckets(spark, out_dir))
     pages_b = pages.withColumn("bucket", bucket_col(F.col("url"), n_buckets))
     # contiguous chunks with the remainder spread over the first groups:
@@ -86,7 +101,8 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
         if max_groups is not None and processed >= max_groups:
             break
         subset = pages_b.filter(F.col("bucket").isin(todo))
-        out = build_kg(spark, subset.drop("bucket"), config, dims, **kg_kwargs)
+        out = build_kg(spark, subset.drop("bucket"), config, dims,
+                       lineage_buckets=n_buckets, **kg_kwargs)
         triples = out["triples"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         rejects = out["rejects"].withColumn("bucket", bucket_col(F.col("url"), n_buckets))
         _write_bucketed(triples, os.path.join(out_dir, "triples"))
@@ -95,16 +111,15 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
             raise RuntimeError("simulated kill inside data->lineage window")
         # lineage rows commit last: a bucket is "done" only after its
         # data lands. EVERY bucket in todo gets a row — including
-        # zero-page buckets, which would otherwise be retried forever
+        # zero-page buckets, which would otherwise be retried forever.
+        # The census comes from build_kg's own lineage frame (bucketed
+        # on THIS n_buckets via lineage_buckets): n_pages = distinct
+        # (url, warc_ts) snapshots — the page identity all lineage
+        # forms share (ADVICE r4) — counted from the persisted parse
+        # pass, so the pages table is not re-scanned per group
         todo_df = spark.createDataFrame([(b,) for b in todo], "bucket long")
-        # n_pages = distinct (url, warc_ts) snapshots — the page
-        # identity all three lineage forms share (ADVICE r4)
         lin = (todo_df
-               .join(subset.groupBy("bucket")
-                     .agg(F.countDistinct(F.struct("url", "warc_ts"))
-                          .alias("n_pages")),
-                     "bucket", "left")
-               .join(triples.groupBy("bucket").agg(F.count("*").alias("n_triples")),
+               .join(out["lineage"].select("bucket", "n_pages", "n_triples"),
                      "bucket", "left")
                .fillna(0, ["n_pages", "n_triples"])
                .withColumn("completed_at", F.current_timestamp()))

@@ -108,9 +108,13 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
              dims: dict[str, DataFrame], n_partitions: int | None = None,
              use_html: bool = True, persist: bool = True,
              persist_validated: bool | None = None,
-             salt_buckets: int = 1) -> dict[str, DataFrame]:
+             salt_buckets: int = 1,
+             lineage_buckets: int = 64) -> dict[str, DataFrame]:
     """Full pipeline. Returns staged, validated, triples (valid only),
-    rejects, and the per-partition lineage/metrics table.
+    rejects, and the per-partition lineage/metrics table (bucketed on
+    ``lineage_buckets`` url-hash buckets — checkpoint callers pass
+    their own n_buckets so the lineage frame doubles as the per-group
+    commit census without a second pages scan).
 
     ``persist_validated``: the validated frame only needs a barrier
     when the caller materializes MORE THAN ONE of triples / rejects /
@@ -159,8 +163,11 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
         # promotion: the copy_harvested_properties/update_item cycle
         # (pywdcollections.py:476-498,416-434) as one set-based merge
         "entities": promote_to_entities(dims["entities_seed"], triples),
-        "lineage": (lineage_from_parse(templates_acc[0], validated)
-                    if templates_acc else lineage(pages, validated)),
+        "lineage": (lineage_from_parse(templates_acc[0], validated,
+                                       n_buckets=lineage_buckets)
+                    if templates_acc
+                    else lineage(pages, validated,
+                                 n_buckets=lineage_buckets)),
         "persisted": persisted,
     }
 

@@ -30,17 +30,20 @@ def test_interrupted_run_resumes_identically(spark, env, tmp_path_factory):
     full_dir = str(tmp_path_factory.mktemp("full"))
     part_dir = str(tmp_path_factory.mktemp("partial"))
 
-    # uninterrupted run
+    # uninterrupted run (auto group sizing: one commit at this scale)
     r_full = run_with_checkpoint(spark, pages, demo_config(), dims, full_dir)
     assert r_full["buckets_done"] == r_full["n_buckets"]
+    assert r_full["groups_processed"] == 1
 
     # killed after 2 of 4 groups
-    r1 = run_with_checkpoint(spark, pages, demo_config(), dims, part_dir, max_groups=2)
+    r1 = run_with_checkpoint(spark, pages, demo_config(), dims, part_dir,
+                             bucket_groups=4, max_groups=2)
     assert r1["groups_processed"] == 2
     n_partial = _triples(spark, part_dir).count()
 
     # resume: only the remaining groups run
-    r2 = run_with_checkpoint(spark, pages, demo_config(), dims, part_dir)
+    r2 = run_with_checkpoint(spark, pages, demo_config(), dims, part_dir,
+                             bucket_groups=4)
     assert r2["groups_processed"] == 2
     assert r2["buckets_done"] == r2["n_buckets"]
 
@@ -50,6 +53,8 @@ def test_interrupted_run_resumes_identically(spark, env, tmp_path_factory):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
     # idempotent: a third run processes nothing and changes nothing
+    # (run with AUTO grouping: the resume unit is the bucket, so a
+    # different grouping across runs of the same --out is safe)
     r3 = run_with_checkpoint(spark, pages, demo_config(), dims, part_dir)
     assert r3["groups_processed"] == 0
     assert _triples(spark, part_dir).count() == a.count()
@@ -72,8 +77,12 @@ def test_crash_inside_data_lineage_window_no_duplicates(spark, env, tmp_path_fac
 
     with pytest.raises(RuntimeError, match="simulated kill"):
         run_with_checkpoint(spark, pages, demo_config(), dims, crash_dir,
+                            bucket_groups=4,
                             fail_before_lineage=1)  # group 0 committed, group 1 data-only
-    # group 1's data is on disk but unrecorded; resume must not duplicate it
+    # group 1's data is on disk but unrecorded; resume must not
+    # duplicate it — even resuming under a DIFFERENT grouping (auto =
+    # one group here): dynamic-partition overwrite replaces the
+    # partial bucket partitions whatever commit unit re-covers them
     r = run_with_checkpoint(spark, pages, demo_config(), dims, crash_dir)
     assert r["buckets_done"] == r["n_buckets"]
 
@@ -97,6 +106,27 @@ def test_zero_page_buckets_get_lineage_rows(spark, env, tmp_path_factory):
 
     r2 = run_with_checkpoint(spark, sparse, demo_config(), dims, out_dir)
     assert r2["groups_processed"] == 0
+
+
+def test_auto_group_sizing(spark, env, tmp_path_factory):
+    """bucket_groups=None (the CLI default) sizes commit units to the
+    input: ~pages_per_group pages per commit, clamped to [1, n_buckets].
+    Small inputs run as ONE commit (the per-group fixed cost is paid
+    once); a tiny pages_per_group forces many groups."""
+    pages, dims = env
+    one = str(tmp_path_factory.mktemp("auto1"))
+    r1 = run_with_checkpoint(spark, pages, demo_config(), dims, one)
+    assert r1["groups_processed"] == 1
+    assert r1["buckets_done"] == r1["n_buckets"]
+
+    many = str(tmp_path_factory.mktemp("auto4"))
+    r4 = run_with_checkpoint(spark, pages, demo_config(), dims, many,
+                             pages_per_group=50)   # 200 pages -> 4 groups
+    assert r4["groups_processed"] == 4
+
+    a, b = _triples(spark, one), _triples(spark, many)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def test_non_divisible_bucket_groups_cover_all_buckets(spark, env, tmp_path_factory):
