@@ -27,13 +27,24 @@ def words(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string>; empty when the text has
-    fewer than n words. Pure built-ins: split + sequence + transform."""
+    """Word n-gram shingles as an array<string>; empty when the text
+    has fewer than n words (null text -> empty too). Pure built-ins:
+    the n shifted SLICES of the token array are zipped element-wise,
+    so tokenization runs O(n) times per ROW. The obvious
+    transform(sequence(...), i -> element_at(words(col), i+k))
+    formulation is O(words^2) per row: higher-order-function lambdas
+    re-evaluate their unbound subtrees per ELEMENT, so every gram
+    re-tokenizes the whole text — measured 5.4 s -> 0.2 s over 5k
+    sf0.1 docs (~300 chars each), and quadratic blowup on long
+    documents at corpus scale (r6; the fix feeds minhash, jaccard,
+    decontamination, and repetition alike)."""
     ws = words(col)
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(ws, (i + k).cast("int")) for k in range(n)]))
-    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    parts = [F.slice(ws, k + 1, m) for k in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def minhash_signature(shingles: Column, k: int = 8,

@@ -27,6 +27,44 @@ def test_contamination_hits_counts_distinct_shingles(spark):
     assert hits == {1: 2, 3: 1}
 
 
+def test_contamination_broadcast_guard_chooses_hash_join(spark):
+    """When the benchmark shingle set cannot auto-broadcast (threshold
+    lowered below its measured size), the guard must (a) warn loudly,
+    (b) pin a shuffled HASH join — never a silent sort-merge over the
+    exploded corpus stream — and (c) return identical results."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest
+
+    docs = _docs(spark, [
+        (1, "the quick brown fox jumps"),
+        (2, "completely unrelated words here"),
+        (3, "quick brown quick brown quick brown"),
+    ])
+    bench = _docs(spark, [(100, "a quick brown fox appears")])
+    expected = {r["doc"]: r["n_hits"]
+                for r in contamination_hits(docs, bench, "doc_id", "text")
+                .collect()}
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16b")
+    try:
+        with pytest.warns(UserWarning, match="exceeds autoBroadcastJoinThreshold"):
+            hits = contamination_hits(docs, bench, "doc_id", "text")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            hits.explain("formatted")
+        plan = buf.getvalue()
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        got = {r["doc"]: r["n_hits"] for r in hits.collect()}
+        assert got == expected
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_decontaminate_drops_flagged_only(spark):
     docs = _docs(spark, [
         (1, "the quick brown fox jumps"),
