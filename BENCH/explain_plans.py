@@ -168,6 +168,37 @@ def main():
           "CartesianProduct" not in clus_plan
           and "BroadcastNestedLoopJoin" not in clus_plan)
 
+    # r6: corpusops scale claims pinned as plan facts (VERDICT r5 #3).
+    # pii_scrub and quality_repetition are per-row statistics: their
+    # plans must be pure row-local projections — zero Exchange, zero
+    # Generate (the measured 19 s explode->groupBy first cut of
+    # repetition would fail this instead of shipping).
+    pii_plan = formatted(QUERIES["pii_scrub"](spark, sf))
+    rep_plan = formatted(QUERIES["quality_repetition"](spark, sf))
+    check("pii_scrub is row-local: no Exchange, no Generate",
+          "Exchange" not in pii_plan and "Generate" not in pii_plan)
+    check("quality_repetition is row-local: no Exchange, no Generate",
+          "Exchange" not in rep_plan and "Generate" not in rep_plan)
+    # decontam: the benchmark shingle set must come in as a BROADCAST
+    # build side (AQE decides at runtime -> execute, then read the
+    # final adaptive plan); the corpus stream is never sort-merge
+    # joined. The size guard in operators/corpusops.py warns + pins a
+    # shuffled hash join when the probe set cannot broadcast.
+    dec_df = QUERIES["decontam_ngram"](spark, sf)
+    dec_df.write.format("noop").mode("overwrite").save()
+    dec_plan = formatted(dec_df)
+    check("decontam probe side broadcasts (no SMJ over corpus shingles)",
+          "BroadcastHashJoin" in dec_plan and "SortMergeJoin" not in dec_plan,
+          f"{dec_plan.count('BroadcastHashJoin')} BroadcastHashJoin")
+    # pack_sequences: the running sum is per-bucket LANES — the Window
+    # must partition on bucket and nothing may collapse to a single
+    # partition (the global-window formulation would)
+    pack_plan = formatted(QUERIES["pack_sequences"](spark, sf))
+    check("pack_sequences window is lane-parallel (no single-partition exchange)",
+          "Window" in pack_plan
+          and "Exchange SinglePartition" not in pack_plan
+          and "hashpartitioning(bucket" in pack_plan)
+
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# Physical plans (explain 'formatted')\n\n")
         f.write("Checks:\n" + "\n".join(checks) + "\n\n")
@@ -187,6 +218,12 @@ def main():
         f.write(ivfk_plan[:8000])
         f.write("\n```\n\n## dedup_clusters (connected components, final round)\n\n```\n")
         f.write(clus_plan[:8000])
+        f.write("\n```\n\n## quality_repetition (row-local, zero shuffle)\n\n```\n")
+        f.write(rep_plan[:6000])
+        f.write("\n```\n\n## decontam_ngram (broadcast probe, final AQE plan)\n\n```\n")
+        f.write(dec_plan[:8000])
+        f.write("\n```\n\n## pack_sequences (per-bucket lane window)\n\n```\n")
+        f.write(pack_plan[:6000])
         f.write("\n```\n")
     print("\n".join(checks))
 
