@@ -148,12 +148,15 @@ def run_kg(spark, n_pages: int, seed: int = 42,
 
 def run_job_cli(spark, n_pages: int, seed: int = 42) -> dict:
     """Time the deployment surface (VERDICT r4 #7): the job CLI's
-    main() end-to-end — checkpointed per-bucket-group commits included
-    — plus a resume leg over the completed output, which must skip
-    every bucket. Run in-process against the active session, exactly
-    how spark-submit drives it (job.main reuses the active session);
-    the CLI's own JSON summary lines are swallowed so bench's stdout
-    stays the driver's single JSON line."""
+    main() end-to-end at its DEFAULTS (auto commit-unit sizing — one
+    group at this scale), a resume leg over the completed output
+    (must skip every bucket), and an explicit 4-commit-unit leg so the
+    per-group checkpoint-granularity constant stays a measured number
+    per round ((groups4 - default)/3, VERDICT r5 #2). Run in-process
+    against the active session, exactly how spark-submit drives it
+    (job.main reuses the active session); the CLI's own JSON summary
+    lines are swallowed so bench's stdout stays the driver's single
+    JSON line."""
     import contextlib
     import io
 
@@ -176,8 +179,16 @@ def run_job_cli(spark, n_pages: int, seed: int = 42) -> dict:
         s2 = J.main(argv)          # resume: all buckets committed
     resume = time.time() - t0
     assert s2["groups_processed"] == 0, "resume leg re-ran committed buckets"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    with contextlib.redirect_stdout(sink):
+        s4 = J.main(argv + ["--bucket-groups", "4"])
+    wall4 = time.time() - t0
+    assert s4["groups_processed"] == 4
     return {"job_cli_wall_s": round(wall, 2),
-            "job_cli_resume_s": round(resume, 2)}
+            "job_cli_resume_s": round(resume, 2),
+            "job_cli_groups4_s": round(wall4, 2),
+            "commit_overhead_s_per_group": round((wall4 - wall) / 3, 2)}
 
 
 def main() -> None:
@@ -207,6 +218,7 @@ def main() -> None:
     cli = run_job_cli(spark, n_pages)
     qtimes["job_cli"] = cli["job_cli_wall_s"]
     qtimes["job_cli_resume"] = cli["job_cli_resume_s"]
+    qtimes["job_cli_groups4"] = cli["job_cli_groups4_s"]
 
     t0 = time.time()
     recall = ann_recall(spark, sf_dir)
@@ -225,6 +237,7 @@ def main() -> None:
         "pages_per_sec": kg["pages_per_sec"],
         "recall_at5": recall,
         "recall_wall_s": recall_wall,
+        "commit_overhead_s_per_group": cli["commit_overhead_s_per_group"],
     }))
 
 
