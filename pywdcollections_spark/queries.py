@@ -23,7 +23,8 @@ from pywdcollections_spark.operators import dedup as D
 from pywdcollections_spark.operators import similarity as SIM
 from pywdcollections_spark.operators import textstats as TS
 from pywdcollections_spark.operators.textops import (
-    md5_hash64, minhash_signature, rolling_fingerprint, simhash16, word_shingles, words,
+    md5_hash64, rolling_fingerprint, simhash16_from_hashes,
+    token_hashes, word_shingles, words,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -616,8 +617,10 @@ FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
 """)
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select(F.col("doc_id").alias("doc"),
-                    simhash16(F.col("text")).cast("long").alias("simhash"))
+    return (d.select(F.col("doc_id").alias("doc"),
+                     token_hashes(F.col("text")).alias("_th"))
+            .select("doc",
+                    simhash16_from_hashes(F.col("_th")).cast("long").alias("simhash")))
 
 
 # SimHash near-dup pairs via pigeonhole Hamming banding: 4 bit-slices
