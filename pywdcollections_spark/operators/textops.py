@@ -112,25 +112,31 @@ def rolling_fingerprint(col: Column, mod: int = 1_000_000_007,
     text (lowercased, whitespace collapsed) — a document fingerprint
     whose SQL twin is list_reduce over string_split.
 
-    Computed BLOCK-WISE: each ``block``-char substring folds to
+    Computed BLOCK-WISE: each ``block``-char chunk folds to
     (h_i, 31^len_i mod p) and blocks combine as acc*m_i + h_i — the
     same value as one char-by-char fold, but the transient per-row
     state is one block's char array instead of a whole-document array
     (MB-size docs would otherwise hold a million-element array per row
-    inside the aggregate)."""
-    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-    n_blocks = F.greatest(F.ceil(F.length(norm) / F.lit(block)), F.lit(1)) \
-                .cast("int")
+    inside the aggregate).
 
-    def fold_block(i):
-        chars = F.split(norm.substr(i * block + 1, F.lit(block)), "")
+    Chunking is ONE split pass (the \\G fixed-width-lookbehind idiom),
+    not per-block substr of an unbound expression: the old
+    transform(sequence, i -> fold(substr(norm, i*block+1, block)))
+    form re-evaluated the normalization AND re-scanned the string to
+    the block offset once per block — O(len^2/block) per row on large
+    documents, the same HOF-re-evaluation class as the r6
+    word_shingles fix. Values identical (same chunks, same fold)."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    blocks = F.split(norm, rf"(?<=\G.{{{int(block)}}})")
+
+    def fold_block(blk):
         zero = F.struct(F.lit(0).cast("long").alias("h"),
                         F.lit(1).cast("long").alias("m"))
-        return F.aggregate(chars, zero, lambda acc, c: F.struct(
+        return F.aggregate(F.split(blk, ""), zero, lambda acc, c: F.struct(
             ((acc["h"] * 31 + F.ascii(c)) % mod).alias("h"),
             ((acc["m"] * 31) % mod).alias("m")))
 
-    parts = F.transform(F.sequence(F.lit(0), n_blocks - 1), fold_block)
+    parts = F.transform(blocks, fold_block)
     return F.aggregate(parts, F.lit(0).cast("long"),
                        lambda acc, p: (acc * p["m"] + p["h"]) % mod)
 
