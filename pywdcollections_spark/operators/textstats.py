@@ -28,16 +28,24 @@ def language_id(df: DataFrame, id_col: str, text_col: str,
                 keep: tuple = ()) -> DataFrame:
     """Stopword-vote language guess with deterministic tie-break
     (en > fr > de on equal votes, 'und' = no votes). ``keep`` forwards
-    extra columns (pipeline composition without a re-join)."""
-    ws = words(F.col(text_col))
+    extra columns (pipeline composition without a re-join).
+
+    The token array is bound as a column before the per-language
+    stopword filters: words(text) appears in six feature expressions,
+    and filter() is a non-codegen HOF, so the unbound form re-split
+    the text once per instance (the r6 binding discipline,
+    BENCH/BASELINE.md round-6)."""
+    base = df.select(F.col(id_col).alias("doc"),
+                     words(F.col(text_col)).alias("_ws"), *keep)
+    ws = F.col("_ws")
     en, fr, de = (_stop_hits(ws, l) for l in ("en", "fr", "de"))
     guess = (F.when((en >= fr) & (en >= de) & (en > 0), "en")
               .when((fr >= de) & (fr > 0), "fr")
               .when(de > 0, "de")
               .otherwise("und"))
-    return df.select(F.col(id_col).alias("doc"), guess.alias("lang_guess"),
-                     en.alias("en_hits"), fr.alias("fr_hits"), de.alias("de_hits"),
-                     *keep)
+    return base.select("doc", guess.alias("lang_guess"),
+                       en.alias("en_hits"), fr.alias("fr_hits"),
+                       de.alias("de_hits"), *keep)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str,
@@ -45,10 +53,17 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
     """Heuristic quality features + a composite score in [0, 1]:
     length band, alpha ratio, punctuation ratio, stopword ratio,
     mean word length — the standard web-text quality recipe.
-    ``keep`` forwards extra columns for pipeline composition."""
+    ``keep`` forwards extra columns for pipeline composition.
+
+    Token array bound first (r6 binding discipline): words(text) feeds
+    n_words, the three stopword filters, stop_ratio, mean_wlen and the
+    composite — unbound it re-split the text per instance."""
+    fwd = [c for c in dict.fromkeys((text_col, *keep))]
+    base = df.select(F.col(id_col).alias("doc"),
+                     words(F.col(text_col)).alias("_ws"), *fwd)
     t = F.col(text_col)
     n_chars = F.length(t)
-    ws = words(t)
+    ws = F.col("_ws")
     n_words = F.size(ws)
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
@@ -65,11 +80,11 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
     score = F.round(
         (len_band + alpha_ratio + F.least(stop_ratio * 3, F.lit(1.0))
          + (1 - F.least(punct_ratio * 10, F.lit(1.0)))) / 4, 6)
-    return df.select(F.col(id_col).alias("doc"), n_chars.alias("n_chars"),
-                     n_words.alias("n_words"), alpha_ratio.alias("alpha_ratio"),
-                     punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
-                     mean_wlen.alias("mean_word_len"), score.alias("quality"),
-                     *keep)
+    return base.select("doc", n_chars.alias("n_chars"),
+                       n_words.alias("n_words"), alpha_ratio.alias("alpha_ratio"),
+                       punct_ratio.alias("punct_ratio"), stop_ratio.alias("stop_ratio"),
+                       mean_wlen.alias("mean_word_len"), score.alias("quality"),
+                       *keep)
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
