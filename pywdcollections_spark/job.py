@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pages-per-group", type=int, default=500_000,
                    help="auto bucket-groups target: pages per commit "
                         "unit (ignored when --bucket-groups is set)")
+    p.add_argument("--stage-input", action="store_true",
+                   help="pre-bucket the pages table once into a "
+                        "bucket-partitioned staging table so each "
+                        "commit unit partition-prunes its scan instead "
+                        "of re-reading the full input (one extra full "
+                        "write; pays off from ~3 commit units; skip "
+                        "when the input is already bucket-partitioned)")
     p.add_argument("--salt-buckets", type=int, default=1,
                    help="canonicalization skew handling: 1 (default) = "
                         "single-phase map-side-combined max_by — the "
@@ -125,6 +132,7 @@ def main(argv: list[str] | None = None) -> dict:
         spark, pages, config, dims, out_dir=args.out,
         n_buckets=args.n_buckets, bucket_groups=args.bucket_groups,
         pages_per_group=args.pages_per_group,
+        stage_input=args.stage_input,
         n_partitions=args.n_partitions, use_html=not args.no_html,
         salt_buckets=args.salt_buckets)
     summary = {"out": args.out, "config": config.name, **summary}

@@ -62,11 +62,42 @@ def _write_bucketed(df: DataFrame, path: str, n_buckets: int) -> None:
        .partitionBy("bucket").parquet(path))
 
 
+def _stage_input(spark: SparkSession, pages_b: DataFrame, out_dir: str,
+                 n_buckets: int) -> DataFrame:
+    """Write the bucketed input ONCE as a bucket-partitioned staging
+    table and return a reader over it: the per-group bucket filter
+    then PRUNES partition directories instead of re-scanning the full
+    input per commit unit (measured at 3M pages / 6 groups: the
+    unstaged path costs ~one full input scan per group because the
+    url-hash predicate cannot prune an unpartitioned layout —
+    BENCH/BASELINE.md round-6). One extra full write of the corpus
+    buys G reads -> 1 read + 1 write + 1 pruned-read-total; worth it
+    from G >= 3, and unnecessary when the input is ALREADY stored
+    bucket-partitioned (point the job at it and skip staging).
+
+    Crash-safe reuse: a completed staging write carries parquet's
+    _SUCCESS marker; a kill mid-staging leaves no marker and the next
+    run rewrites it (mode=overwrite)."""
+    staging = os.path.join(out_dir, "_staged_pages")
+    done_marker = os.path.join(staging, "_SUCCESS")
+    try:
+        marker_exists = (spark._jvm.org.apache.hadoop.fs.Path(done_marker)
+                         .getFileSystem(spark._jsc.hadoopConfiguration())
+                         .exists(spark._jvm.org.apache.hadoop.fs.Path(done_marker)))
+    except Exception:
+        marker_exists = os.path.exists(done_marker)
+    if not marker_exists:
+        (pages_b.repartition(n_buckets, F.col("bucket"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(staging))
+    return spark.read.parquet(staging)
+
+
 def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
                         config: CollectionConfig, dims: dict[str, DataFrame],
                         out_dir: str, n_buckets: int = 16,
                         bucket_groups: int | None = None,
                         pages_per_group: int = 500_000,
+                        stage_input: bool = False,
                         max_groups: int | None = None,
                         fail_before_lineage: int | None = None,
                         **kg_kwargs) -> dict:
@@ -83,7 +114,13 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
     group they once belonged to. ``max_groups`` simulates a kill
     between groups; ``fail_before_lineage`` simulates a kill INSIDE
     group ``i``'s data->lineage window (data written, lineage not) —
-    both for tests. Returns progress counters."""
+    both for tests. Returns progress counters.
+
+    ``stage_input`` (opt-in): when more than one commit unit will run,
+    pre-bucket the input once into a bucket-PARTITIONED staging table
+    under out_dir so each group's filter partition-prunes instead of
+    re-scanning the whole input (see _stage_input; skip it when the
+    input is already stored bucket-partitioned)."""
     if bucket_groups is None:
         # parquet row-count is footer metadata — no data scan
         n_pages = pages.count()
@@ -102,6 +139,13 @@ def run_with_checkpoint(spark: SparkSession, pages: DataFrame,
         if size:
             groups.append(list(range(start, start + size)))
         start += size
+
+    # stage only when the REMAINING work spans >1 commit unit: a
+    # single-group run (or a fully-committed resume) reads the input
+    # once anyway, so staging would be pure overhead
+    n_pending = sum(1 for g in groups if any(b not in done for b in g))
+    if stage_input and n_pending > 1:
+        pages_b = _stage_input(spark, pages_b, out_dir, n_buckets)
 
     processed = 0
     for gi, group in enumerate(groups):

@@ -129,6 +129,66 @@ def test_auto_group_sizing(spark, env, tmp_path_factory):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_stage_input_identical_and_pruned(spark, env, tmp_path_factory):
+    """stage_input=True pre-buckets the input once into a
+    bucket-PARTITIONED staging table; outputs must be identical to the
+    unstaged run, the per-group scan must partition-prune (pushed
+    partition filter, no url-hash recompute on the scan side), resume
+    must reuse the completed staging (_SUCCESS marker), and a staging
+    dir WITHOUT the marker (kill mid-staging) must be rewritten."""
+    import os
+
+    pages, dims = env
+    plain = str(tmp_path_factory.mktemp("plain"))
+    staged = str(tmp_path_factory.mktemp("staged"))
+
+    run_with_checkpoint(spark, pages, demo_config(), dims, plain,
+                        bucket_groups=4)
+    r = run_with_checkpoint(spark, pages, demo_config(), dims, staged,
+                            bucket_groups=4, stage_input=True)
+    assert r["groups_processed"] == 4
+    staging = os.path.join(staged, "_staged_pages")
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+    # partition layout: one directory per occupied bucket
+    assert any(n.startswith("bucket=") for n in os.listdir(staging))
+
+    a, b = _triples(spark, plain), _triples(spark, staged)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the group filter prunes the staged scan: with a partition filter
+    # on bucket, the scan's partition count at one bucket is 1 dir
+    sub = spark.read.parquet(staging).filter(F.col("bucket") == 3)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sub.explain("formatted")
+    assert "PartitionFilters: [isnotnull(bucket" in buf.getvalue() \
+        or "bucket = 3" in buf.getvalue()
+
+    # fully-committed resume: no pending group -> staging untouched,
+    # nothing reprocessed
+    r2 = run_with_checkpoint(spark, pages, demo_config(), dims, staged,
+                             bucket_groups=4, stage_input=True)
+    assert r2["groups_processed"] == 0
+
+    # kill-mid-staging: a partial staging dir WITHOUT _SUCCESS must be
+    # rewritten (not trusted) and the run still completes identically
+    crash = str(tmp_path_factory.mktemp("stagecrash"))
+    partial = os.path.join(crash, "_staged_pages", "bucket=0")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "garbage.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")
+    r3 = run_with_checkpoint(spark, pages, demo_config(), dims, crash,
+                             bucket_groups=4, stage_input=True)
+    assert r3["groups_processed"] == 4
+    assert os.path.exists(os.path.join(crash, "_staged_pages", "_SUCCESS"))
+    c = _triples(spark, crash)
+    assert c.count() == a.count()
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
 def test_non_divisible_bucket_groups_cover_all_buckets(spark, env, tmp_path_factory):
     """n_buckets not divisible by bucket_groups must still assign every
     bucket to a commit unit — the naive floor split silently dropped
