@@ -38,7 +38,10 @@ HEADLINE = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
+    "dedup_simhash",
     "text_token_counts",
+    "text_langid",
+    "corpus_clean_pipeline",
     "text_fingerprint",
     "corpus_profile_rollup",
     "text_length_quantiles",
