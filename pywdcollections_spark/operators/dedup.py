@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pywdcollections_spark.operators.textops import (
-    cosine,
+    as_double_array,
+    cosine_double,
     md5_hash64,
     minhash_signature_from_hashes,
     simhash16_from_hashes,
@@ -210,13 +211,16 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     """Near-dup by embedding cosine, ALL-PAIRS form — O(n²) theta join,
     kept ONLY as the bounded-input oracle twin / recall reference.
     The scale path is embedding_lsh_cosine_pairs below."""
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # widened to double once per row (textops.as_double_array): the
+    # per-pair cosine folds then run cast-free
+    base = df.select(F.col(id_col).alias("vid"),
+                     as_double_array(F.col(vec_col)).alias("v"))
     if max_id is not None:
         base = base.filter(F.col("vid") < max_id)
     a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos", cosine_double(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
 
@@ -239,7 +243,10 @@ def embedding_lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     reproducing the same buckets so the check is exact."""
     from pywdcollections_spark.operators.similarity import lsh_bucket
 
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # widened once per row; float->double is exact so the hyperplane
+    # sign buckets are unchanged
+    base = df.select(F.col(id_col).alias("vid"),
+                     as_double_array(F.col(vec_col)).alias("v"))
     if max_id is not None:
         base = base.filter(F.col("vid") < max_id)
     for t in range(tables):
@@ -257,7 +264,7 @@ def embedding_lsh_cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
     va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .withColumn("cos", cosine_double(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pywdcollections_spark.operators.textops import cosine
+from pywdcollections_spark.operators.textops import as_double_array, cosine_double
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
@@ -38,12 +38,15 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     by cosine (ties broken by ascending corpus id; a query's own id is
     excluded). Output: query_id, rank, neighbor_id, cos."""
     qid = qid_col or id_col
+    # vectors widened to double ONCE per row (textops.as_double_array):
+    # cosine over raw floats would pay three cast copies per PAIR
     q = F.broadcast(queries.select(F.col(qid).alias("query_id"),
-                                   F.col(vec_col).alias("qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+                                   as_double_array(F.col(vec_col)).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double_array(F.col(vec_col)).alias("cv"))
     scored = (q.crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+              .withColumn("cos", cosine_double(F.col("qv"), F.col("cv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -123,7 +126,7 @@ def kmeans_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     for _ in range(iters):
         bc = F.broadcast(cent.select("cent_id", F.col("centv").alias("bcentv")))
         assigned = (c.crossJoin(bc)
-                    .withColumn("cc", cosine(F.col("cv"), F.col("bcentv")))
+                    .withColumn("cc", cosine_double(F.col("cv"), F.col("bcentv")))
                     .groupBy("nid")
                     .agg(F.max_by(
                         F.struct(F.col("vi").alias("vi"),
@@ -164,13 +167,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     a map-side max_by (16 rows per vector combine before any shuffle),
     and the probe join is an equi join on cell — the cell column is
     precomputable and partitionable at 100 TB."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # vectors widened to double ONCE per row (see brute_force_topk)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double_array(F.col(vec_col)).alias("cv"))
     if centroids is None:
         centroids = (c.orderBy("neighbor_id").limit(n_centroids)
                      .select(F.col("neighbor_id").alias("cent_id"),
                              F.col("cv").alias("centv")))
-    cent = F.broadcast(centroids.select("cent_id", "centv"))
-    cc = cosine(F.col("cv"), F.col("centv"))
+    # k-row table: the no-op widen on already-double trained centroids
+    # costs k rows once, and guards float centroids from external callers
+    cent = F.broadcast(centroids.select(
+        "cent_id", as_double_array(F.col("centv")).alias("centv")))
+    cc = cosine_double(F.col("cv"), F.col("centv"))
     assigned = (c.crossJoin(cent)
                 .withColumn("cc", cc)
                 .groupBy("neighbor_id")
@@ -180,16 +188,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
                              (-F.col("cent_id")).alias("nid"))).alias("s"))
                 .select("neighbor_id", F.col("s.cv").alias("cv"),
                         F.col("s.cell").alias("cell")))
-    q = (queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        as_double_array(F.col(vec_col)).alias("qv"))
          .crossJoin(cent)
-         .withColumn("cc", cosine(F.col("qv"), F.col("centv"))))
+         .withColumn("cc", cosine_double(F.col("qv"), F.col("centv"))))
     wq = Window.partitionBy("query_id").orderBy(F.desc("cc"), F.asc("cent_id"))
     probes = (q.withColumn("rn", F.row_number().over(wq))
               .filter(F.col("rn") <= n_probe)
               .select("query_id", "qv", F.col("cent_id").alias("cell")))
     scored = (F.broadcast(probes).join(assigned, "cell")
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+              .withColumn("cos", cosine_double(F.col("qv"), F.col("cv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -204,11 +213,13 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     within the probed candidate set). The corpus side keeps ONE bucket
     per vector (a precomputable partition key at 100 TB); the probe
     fan-out rides on the broadcast query side only."""
+    # vectors widened to double ONCE per row; float->double is exact,
+    # so lsh_bucket sign bits are unchanged
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv")) \
+                      as_double_array(F.col(vec_col)).alias("cv")) \
               .withColumn("bucket", lsh_bucket(F.col("cv"), n_planes, dim))
     qb = (queries.select(F.col(id_col).alias("query_id"),
-                         F.col(vec_col).alias("qv"))
+                         as_double_array(F.col(vec_col)).alias("qv"))
           .withColumn("qbucket", lsh_bucket(F.col("qv"), n_planes, dim)))
     masks = probe_masks(n_planes, probe_flips)
     q = F.broadcast(qb.withColumn(
@@ -216,7 +227,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]))))
     scored = (q.join(c, "bucket")
               .filter(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+              .withColumn("cos", cosine_double(F.col("qv"), F.col("cv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -141,14 +141,33 @@ def rolling_fingerprint(col: Column, mod: int = 1_000_000_007,
                        lambda acc, p: (acc * p["m"] + p["h"]) % mod)
 
 
-def cosine(a: Column, b: Column, scale: int = 4) -> Column:
-    """Cosine similarity of two array<float/double> columns, computed in
-    double with left-to-right summation (matches list_dot_product /
-    list-reduce order in the oracle), rounded to ``scale``."""
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y),
+def as_double_array(col: Column) -> Column:
+    """array<float> -> array<double> (exact widening). Pre-cast vector
+    columns ONCE per row with this before pair-wise scoring: cosine()
+    over raw float arrays pays three cast-copy allocations per PAIR
+    inside its folds, which dominates cross-join scoring (r6 A/B:
+    ~13% on a 50k-pair cross join, bit-identical results)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_double(a: Column, b: Column, scale: int = 4) -> Column:
+    """Cosine similarity of two array<double> columns (pre-cast with
+    ``as_double_array``), computed with left-to-right summation
+    (matches list_dot_product / list-reduce order in the oracle),
+    rounded to ``scale``. The folds run directly over the bound
+    arrays — no per-pair cast copies. NB: a one-pass struct-state
+    fold was A/B'd and measured ~60% SLOWER than these three simple
+    passes (interpreted HOF struct allocation per element); keep the
+    three-fold shape."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, v: acc + v * v))
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
     return F.round(dot / (na * nb), scale)
+
+
+def cosine(a: Column, b: Column, scale: int = 4) -> Column:
+    """Convenience form over raw array<float/double> columns — pays the
+    cast copies per evaluation; hot pair-scoring paths pre-cast once
+    per row and call cosine_double (similarity.py / dedup.py do)."""
+    return cosine_double(as_double_array(a), as_double_array(b), scale)
