@@ -104,14 +104,20 @@ def clean_corpus(df: DataFrame, id_col: str, text_col: str,
     job actually runs: quality gate -> exact-duplicate collapse (lowest
     id per content hash survives) -> language tag + token counters.
     One declarative plan over one scan: the gate is a pushable filter,
-    the only data-sized shuffles are the md5 groupBy (uniform key) and
-    the canonical-id join."""
+    and the ONLY data-sized shuffle is one md5-partitioned window (the
+    hash key is uniform, so no skew). The r5 formulation collapsed
+    duplicates with groupBy(min(doc)) + join-back, which computed the
+    quality+md5 subplan TWICE (once per join side) and shuffled both
+    sides; min-over-window is one pass and one exchange (r6 A/B in
+    BENCH/BASELINE.md)."""
+    from pyspark.sql import Window
     base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
     q = (quality_score(base, "doc", "text", keep=("text",))
          .filter(F.col("quality") >= min_quality)
          .withColumn("content_md5", F.md5("text")))
-    canon = q.groupBy("content_md5").agg(F.min("doc").alias("doc"))
-    uniq = (q.join(canon, ["doc", "content_md5"])
+    w = Window.partitionBy("content_md5")
+    uniq = (q.withColumn("_min_doc", F.min("doc").over(w))
+            .filter(F.col("doc") == F.col("_min_doc")).drop("_min_doc")
             .withColumn("ws_tokens", F.size(words(F.col("text")))))
     out = language_id(uniq, "doc", "text",
                       keep=("content_md5", "quality", "ws_tokens", "n_chars"))
