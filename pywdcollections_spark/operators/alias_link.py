@@ -139,7 +139,13 @@ def link_with_alias_fallback(cands: DataFrame, sitelinks: DataFrame,
     semantics untouched) plus the alias-trie scorer over the RESIDUE:
     entity-datatype candidate rows the exact path dropped get one
     alias-scored second chance; everything the exact path resolved is
-    returned byte-identically. ``aliases`` is raw (alias, qid)."""
+    returned byte-identically. ``aliases`` is raw (alias, qid).
+
+    NB: ``exact`` is a real fan-out — it feeds both the final union
+    AND the residue anti-join — so an unpersisted ``cands`` upstream
+    is evaluated twice at materialization. The pipeline caller persists
+    cands (plans/pipeline.py harvest); standalone callers with an
+    expensive cands plan should do the same."""
     from pywdcollections_spark.functions.udfs import wikilink_mentions_udf
     from pywdcollections_spark.operators.linking import (_GRAIN,
                                                          link_entity_values)

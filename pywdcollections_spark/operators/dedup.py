@@ -21,7 +21,7 @@ designed for the 100 TB shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pywdcollections_spark.operators.textops import (
@@ -67,9 +67,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sh = docs.select("doc", F.explode("sh").alias("shingle"))
     cand_sh = sh
     if max_shingle_freq is not None:
-        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_shingle_freq).select("shingle"))
-        cand_sh = sh.join(rare, "shingle")
+        # doc-frequency as a count-over-window, not groupBy + join-back:
+        # the join form computed the shingle explode twice (once per
+        # side) and shuffled both; the window is one pass and one
+        # exchange on shingle — which the self-join below then REUSES
+        # as its own partitioning (r6)
+        cand_sh = (sh.withColumn(
+                       "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+                   .filter(F.col("_df") <= max_shingle_freq).drop("_df"))
     a = cand_sh.alias("a")
     b = cand_sh.alias("b")
     cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -128,11 +133,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                          for j in range(bands)])).alias("b"))
                  .select("doc", "b.band", "b.bkey"))
     if max_bucket_size is not None:
-        ok = (band_rows.groupBy("band", "bkey")
-              .agg(F.count("*").alias("bsz"))
-              .filter(F.col("bsz") <= max_bucket_size)
-              .select("band", "bkey"))
-        band_rows = band_rows.join(ok, ["band", "bkey"])
+        # bucket size as a count-over-window, not groupBy + join-back:
+        # the join form computed the FULL minhash-signature pass twice
+        # (once per side) and shuffled both; the window is one
+        # signature pass and one exchange on (band, bkey) — which the
+        # candidate self-join below then REUSES as its partitioning (r6)
+        band_rows = (band_rows.withColumn(
+                         "_bsz", F.count(F.lit(1)).over(
+                             Window.partitionBy("band", "bkey")))
+                     .filter(F.col("_bsz") <= max_bucket_size).drop("_bsz"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
