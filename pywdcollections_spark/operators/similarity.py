@@ -53,15 +53,25 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
             .select("query_id", "rank", "neighbor_id", "cos"))
 
 
+def _plane_array(plane_idx: int, dim: int) -> "F.Column":
+    """The deterministic pseudo-hyperplane as a LITERAL double array:
+    h[j][d] = ((j*1024 + d) * 2654435761 mod 1000) / 499.5 - 1. The
+    components depend only on (plane, dim), so they are computed once
+    driver-side (Python int arithmetic is exact; the final division is
+    the same IEEE double Spark produces) instead of re-running the
+    integer mixing per ELEMENT per ROW inside the fold lambda
+    (r6 A/B: ~30% on corpus-side bucketing, bit-identical buckets)."""
+    vals = [((plane_idx * 1024 + d) * 2654435761 % 1000) / 499.5 - 1.0
+            for d in range(dim)]
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def hyperplane_bit(vec, plane_idx: int, dim: int) -> "F.Column":
-    """Sign bit of <vec, h_plane> for a deterministic pseudo-hyperplane:
-    h[j][d] = ((j*1024 + d) * 2654435761 mod 1000) / 499.5 - 1."""
+    """Sign bit of <vec, h_plane> (see _plane_array). The per-element
+    cast handles raw float inputs scalar-wise — no array copy."""
     dot = F.aggregate(
-        F.zip_with(
-            F.transform(vec, lambda x: x.cast("double")),
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, d: x * (((F.lit(plane_idx * 1024) + d) * 2654435761 % 1000)
-                              .cast("double") / 499.5 - 1.0)),
+        F.zip_with(vec, _plane_array(plane_idx, dim),
+                   lambda x, h: x.cast("double") * h),
         F.lit(0.0), lambda acc, v: acc + v)
     return (dot > 0).cast("int")
 
