@@ -78,6 +78,20 @@ def test_decontaminate_drops_flagged_only(spark):
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 2]
 
 
+def test_word_shingles_expression_shape(spark):
+    """Regression pin for the r6 O(words^2) bug: grams must be built
+    from zipped SLICES of the token array, never per-element
+    element_at over the unbound tokenization (HOF lambdas re-evaluate
+    unbound subtrees per ELEMENT, so that form re-tokenizes the whole
+    text once per gram — measured 5.4 s -> 0.2 s over 5k sf0.1 docs).
+    The plan audit cannot see expression-level strategy, so pin the
+    expression tree itself."""
+    from pywdcollections_spark.operators.textops import word_shingles
+    expr = str(word_shingles(F.col("t"), 3))
+    assert "zip_with" in expr and "slice" in expr
+    assert "element_at" not in expr
+
+
 def test_repetition_stats(spark):
     docs = _docs(spark, [
         (1, "a a a a"),                      # all-dup words, top bigram fills every slot
