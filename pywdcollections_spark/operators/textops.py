@@ -125,9 +125,18 @@ def rolling_fingerprint(col: Column, mod: int = 1_000_000_007,
     form re-evaluated the normalization AND re-scanned the string to
     the block offset once per block — O(len^2/block) per row on large
     documents, the same HOF-re-evaluation class as the r6
-    word_shingles fix. Values identical (same chunks, same fold)."""
+    word_shingles fix. Values identical (same chunks, same fold).
+
+    Empty chunks are dropped before folding (r7, ADVICE r6): split with
+    limit -1 emits a trailing "" whenever len(norm) is a positive
+    multiple of ``block``, and "" folds to (h=0, m=31), silently
+    multiplying the final hash by 31 — exactly at block-multiple
+    lengths, which the char-by-char oracle fold never does. Dropping
+    "" is value-neutral everywhere else ((0, 1) is the fold identity,
+    and "" only ever appears as that trailing artifact)."""
     norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
-    blocks = F.split(norm, rf"(?<=\G.{{{int(block)}}})")
+    blocks = F.filter(F.split(norm, rf"(?<=\G.{{{int(block)}}})"),
+                      lambda b: b != "")
 
     def fold_block(blk):
         zero = F.struct(F.lit(0).cast("long").alias("h"),

@@ -25,10 +25,14 @@ def _stop_hits(ws, lang: str):
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str,
-                keep: tuple = ()) -> DataFrame:
+                keep: tuple = (), n_tokens_col: str | None = None) -> DataFrame:
     """Stopword-vote language guess with deterministic tie-break
     (en > fr > de on equal votes, 'und' = no votes). ``keep`` forwards
     extra columns (pipeline composition without a re-join).
+    ``n_tokens_col`` additionally emits the whitespace token count
+    under that name — it reuses the already-bound token array, so a
+    composing caller (clean_corpus) doesn't re-split the text for a
+    separate counter.
 
     The token array is bound as a column before the per-language
     stopword filters: words(text) appears in six feature expressions,
@@ -43,9 +47,10 @@ def language_id(df: DataFrame, id_col: str, text_col: str,
               .when((fr >= de) & (fr > 0), "fr")
               .when(de > 0, "de")
               .otherwise("und"))
+    extra = [F.size(ws).alias(n_tokens_col)] if n_tokens_col else []
     return base.select("doc", guess.alias("lang_guess"),
                        en.alias("en_hits"), fr.alias("fr_hits"),
-                       de.alias("de_hits"), *keep)
+                       de.alias("de_hits"), *extra, *keep)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str,
@@ -109,21 +114,51 @@ def clean_corpus(df: DataFrame, id_col: str, text_col: str,
     duplicates with groupBy(min(doc)) + join-back, which computed the
     quality+md5 subplan TWICE (once per join side) and shuffled both
     sides; min-over-window is one pass and one exchange (r6 A/B in
-    BENCH/BASELINE.md)."""
+    BENCH/BASELINE.md).
+
+    r7: EVERY row-local feature (quality, language hits, token count)
+    is computed BEFORE the dedup window, so (a) the exchange carries
+    only narrow columns — doc, md5, a few ints, never the text payload
+    (guide §2.3 "project before the exchange"; at corpus scale the
+    text column dominated the shuffle bytes), and (b) the post-shuffle
+    stage is just min-over-window + filter — previously langid +
+    token-split ran after the exchange, where AQE's small-bytes
+    coalescing serializes compute-heavy stages at sandbox scale.
+    Results identical: the features are per-row functions of text, so
+    computing them pre- vs post-dedup changes nothing for surviving
+    rows. Trade-off, disclosed: features are now computed on kept rows
+    INCLUDING duplicates (~duplicate-fraction extra row-local compute)
+    in exchange for a text-free shuffle — at web scale shuffle bytes
+    are the scarcer resource by far (measured r7 at sf1.0/32 cores:
+    9.2 -> 2.1 s)."""
     from pyspark.sql import Window
     base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    # Pushdown fence on the gate (r7): the predicate's subtree IS the
+    # full quality expression — Catalyst would otherwise clone it into
+    # a filter pushed below any upstream exchange (e.g. the caller's
+    # scan-spreading repartition), evaluating the whole tokenize+regex
+    # pass once in the narrow pre-exchange stage AND again in the
+    # projection above (measured r7: 6.2 s vs 2.2 s at sf1.0/32 cores,
+    # the pushed copy serialized into the unsplittable scan task).
+    # OR-ing an always-false NONDETERMINISTIC term pins the filter
+    # directly above the projection that computes `quality`, so the
+    # expression evaluates exactly once; the row set is unchanged
+    # (monotonically_increasing_id() is always >= 0).
+    fence = F.monotonically_increasing_id() < F.lit(0)
     q = (quality_score(base, "doc", "text", keep=("text",))
-         .filter(F.col("quality") >= min_quality)
+         .filter((F.col("quality") >= min_quality) | fence)
          .withColumn("content_md5", F.md5("text")))
+    feat = language_id(q, "doc", "text",
+                       keep=("content_md5", "quality", "n_chars"),
+                       n_tokens_col="ws_tokens")
+    pre = feat.select("doc", "content_md5", "quality", "lang_guess",
+                      "ws_tokens", "n_chars")
     w = Window.partitionBy("content_md5")
-    uniq = (q.withColumn("_min_doc", F.min("doc").over(w))
-            .filter(F.col("doc") == F.col("_min_doc")).drop("_min_doc")
-            .withColumn("ws_tokens", F.size(words(F.col("text")))))
-    out = language_id(uniq, "doc", "text",
-                      keep=("content_md5", "quality", "ws_tokens", "n_chars"))
-    return out.select("doc", "content_md5", "quality", "lang_guess",
-                      F.col("ws_tokens").cast("long").alias("ws_tokens"),
-                      F.col("n_chars").cast("long").alias("n_chars"))
+    uniq = (pre.withColumn("_min_doc", F.min("doc").over(w))
+            .filter(F.col("doc") == F.col("_min_doc")).drop("_min_doc"))
+    return uniq.select("doc", "content_md5", "quality", "lang_guess",
+                       F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                       F.col("n_chars").cast("long").alias("n_chars"))
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

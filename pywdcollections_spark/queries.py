@@ -54,6 +54,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spreading for compute-heavy row-local plans
+    (guide §2.5 "input skew: one huge unsplittable file ... repartition
+    immediately after the read"). Parquet scans cannot split below
+    row-group granularity, and the fixture tables are single-file,
+    single-row-group — so without this every documents-table query runs
+    its whole scan+compute stage in ONE task regardless of cores
+    (measured r7: dedup_simhash 10.4 s at sf1.0/32 cores, ~16x the
+    parallel cost). When the scan already carries at least half the
+    cluster's parallelism in splits — the normal lake-scale case, where
+    inputs have thousands of row groups — this is a NO-OP, so nothing
+    is tuned to the sandbox. The round-robin exchange moves each text
+    exactly once and replaces no other shuffle; results are unchanged
+    (row sets are order-free, and Spark's sort-before-repartition keeps
+    the assignment deterministic under retries).
+
+    Only worth it where per-row compute dominates the scan (shingle /
+    hash / regex passes): queries whose map side is trivial (md5-only,
+    pure aggregates) keep the plain scan — the exchange would cost more
+    than it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations — TPC-H Q1 shape (A1/A5 partial-agg family)
 @_reg("q1_pricing_summary", """
@@ -616,7 +643,7 @@ SELECT doc_id AS doc, {_simhash_sql()} AS simhash
 FROM (SELECT doc_id, {_WS_SQL} AS ws FROM documents)
 """)
 def dedup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return (d.select(F.col("doc_id").alias("doc"),
                      token_hashes(F.col("text")).alias("_th"))
             .select("doc",
@@ -872,7 +899,7 @@ SELECT doc_id AS doc,
 FROM h
 """)
 def text_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     out = TS.language_id(d, "doc_id", "text")
     return out.select("doc", "lang_guess",
                       F.col("en_hits").cast("long").alias("en_hits"),
@@ -905,7 +932,7 @@ SELECT doc_id AS doc, CAST(n_chars AS BIGINT) AS n_chars,
 FROM h
 """)
 def text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     out = TS.quality_score(d, "doc_id", "text")
     return out.select("doc", F.col("n_chars").cast("long").alias("n_chars"),
                       F.col("n_words").cast("long").alias("n_words"),
@@ -922,7 +949,7 @@ SELECT doc_id AS doc,
 FROM documents
 """)
 def text_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     out = TS.token_counts(d, "doc_id", "text")
     return out.select("doc", F.col("ws_tokens").cast("long").alias("ws_tokens"),
                       F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
@@ -961,7 +988,7 @@ SELECT doc_id AS doc, content_md5, quality,
 FROM uniq
 """)
 def corpus_clean_pipeline(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return TS.clean_corpus(d, "doc_id", "text", min_quality=0.5)
 
 
@@ -975,7 +1002,7 @@ SELECT doc_id AS doc,
 FROM documents WHERE length(trim(text)) > 0
 """)
 def text_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    d = _spread(_t(spark, sf_dir, "documents")).filter(F.length(F.trim("text")) > 0)
     return TS.fingerprints(d, "doc_id", "text")
 
 
@@ -1052,7 +1079,7 @@ GROUP BY doc
 """)
 def decontam_ngram(spark, sf_dir):
     from pywdcollections_spark.operators.corpusops import contamination_hits
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     bench = d.filter(F.col("doc_id") % 20 == 0)
     return contamination_hits(d, bench, "doc_id", "text", n=2) \
         .select("doc", F.col("n_hits").cast("long").alias("n_hits"))
@@ -1087,7 +1114,7 @@ FROM b LEFT JOIN top USING (doc_id)
 """)
 def quality_repetition(spark, sf_dir):
     from pywdcollections_spark.operators.corpusops import repetition_stats
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     return repetition_stats(d, "doc_id", "text")
 
 
@@ -1125,7 +1152,7 @@ FROM aug
 @_reg("pii_scrub", _PII_SQL)
 def pii_scrub_q(spark, sf_dir):
     from pywdcollections_spark.operators.corpusops import pii_scrub
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     footer = (
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -1158,7 +1185,7 @@ WINDOW w AS (PARTITION BY bucket ORDER BY doc
 """)
 def pack_sequences_q(spark, sf_dir):
     from pywdcollections_spark.operators.corpusops import pack_sequences
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.size(words(F.col("text"))).alias("ws_tokens"))
     return pack_sequences(toks, "doc_id", "ws_tokens",
                           ctx_tokens=128, n_buckets=8)

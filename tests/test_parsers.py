@@ -153,7 +153,10 @@ def test_blocked_fingerprint_matches_char_fold(spark):
     from pyspark.sql import functions as F
     from pywdcollections_spark.operators.textops import rolling_fingerprint
     rng = _r.Random(3)
-    texts = ["a", "ab c", "x" * 5000,
+    # 4096/8192: normalized length an EXACT block multiple — the split
+    # emits a trailing empty chunk there, which must be dropped before
+    # folding or the hash gains a spurious *31 (ADVICE r6, fixed r7)
+    texts = ["a", "ab c", "x" * 5000, "x" * 4096, "x" * 8192, "y" * 12288,
              " ".join("w%d" % rng.randrange(50) for _ in range(3000))]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                "i long, text string")
