@@ -91,12 +91,15 @@ def link_entity_values(cands: DataFrame, sitelinks: DataFrame, redirects: DataFr
     pc = b(prop_constraints.select(F.col("pred").alias("pc_pred"), "constraints"))
     tclasses = b(target_classes(target_p31, class_p279))
 
-    m = (m.join(pc, m["pred"] == pc["pc_pred"], "left").drop("pc_pred")
-          .join(tclasses, m["target_qid"] == tclasses["cls_qid"], "left").drop("cls_qid")
-          .withColumn("cpass",
-                      (F.size(F.coalesce("constraints", F.array())) > 0)
-                      & F.coalesce(F.arrays_overlap("constraints", "classes"),
-                                   F.lit(False))))
+    # two joins + one select (not join/drop/join/drop/withColumn —
+    # each DataFrame op re-analyzes the plan eagerly, r7)
+    mcols = m.columns
+    m = (m.join(pc, m["pred"] == pc["pc_pred"], "left")
+          .join(tclasses, m["target_qid"] == tclasses["cls_qid"], "left")
+          .select(*mcols,
+                  ((F.size(F.coalesce("constraints", F.array())) > 0)
+                   & F.coalesce(F.arrays_overlap("constraints", "classes"),
+                                F.lit(False))).alias("cpass")))
 
     # value-level selection (reference return rule :218-224)
     picked = (m

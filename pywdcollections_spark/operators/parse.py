@@ -23,11 +23,11 @@ def page_identity(pages: DataFrame) -> DataFrame:
     """Derive (site, title) from url/lang — the reference's decode()
     (pywdcollections.py:69-70): url tail after '/', percent-decoded,
     '_' -> ' '. Stays JVM-side (built-in functions only)."""
-    return (pages
-            .withColumn("site", F.concat(F.col("lang"), F.lit("wiki")))
-            .withColumn("title", F.regexp_replace(
-                F.url_decode(F.element_at(F.split(F.col("url"), "/"), -1)),
-                "_", " ")))
+    return pages.withColumns({
+        "site": F.concat(F.col("lang"), F.lit("wiki")),
+        "title": F.regexp_replace(
+            F.url_decode(F.element_at(F.split(F.col("url"), "/"), -1)),
+            "_", " ")})
 
 
 def extract_and_parse(pages: DataFrame, n_partitions: int | None = None,

@@ -26,6 +26,26 @@ from pywdcollections_spark.operators import validate as V
 from pywdcollections_spark.registry import PROP_SPECS
 
 
+class _LazyOut(dict):
+    """build_kg's result dict with deferred entries: ``lazy(key, fn)``
+    registers a thunk evaluated (once) on first ``[key]`` access.
+    Plain dict otherwise — iteration/``in``/``get`` see the key."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self._thunks: dict = {}
+
+    def lazy(self, key, fn) -> None:
+        self._thunks[key] = fn
+        super().__setitem__(key, None)
+
+    def __getitem__(self, key):
+        fn = self._thunks.pop(key, None)
+        if fn is not None:
+            super().__setitem__(key, fn())
+        return super().__getitem__(key)
+
+
 def prop_constraints_df(spark: SparkSession) -> DataFrame:
     rows = [{"pred": f"P{s.pid}", "constraints": [int(c) for c in s.constraints]}
             for s in PROP_SPECS.values()]
@@ -154,22 +174,28 @@ def build_kg(spark: SparkSession, pages: DataFrame, config: CollectionConfig,
                        "source", "site_qid", "url", "warc_ts"))
     rejects = validated.filter(~F.col("valid")) \
                        .select("subj", "pred", "obj_raw", "source", "url", "reject_reason")
-    from pywdcollections_spark.operators.promote import promote_to_entities
-    return {
+    out = _LazyOut({
         "staged": staged,
         "validated": validated,
         "triples": triples,
         "rejects": rejects,
-        # promotion: the copy_harvested_properties/update_item cycle
-        # (pywdcollections.py:476-498,416-434) as one set-based merge
-        "entities": promote_to_entities(dims["entities_seed"], triples),
         "lineage": (lineage_from_parse(templates_acc[0], validated,
                                        n_buckets=lineage_buckets)
                     if templates_acc
                     else lineage(pages, validated,
                                  n_buckets=lineage_buckets)),
         "persisted": persisted,
-    }
+    })
+    # promotion: the copy_harvested_properties/update_item cycle
+    # (pywdcollections.py:476-498,416-434) as one set-based merge.
+    # Built LAZILY on first access (r7): plan construction is eager
+    # driver work in classic PySpark (~0.3 s for the wide merge), and
+    # the bench/checkpoint callers never read "entities" — a per-group
+    # checkpoint run paid it once per commit unit for nothing.
+    from pywdcollections_spark.operators.promote import promote_to_entities
+    out.lazy("entities",
+             lambda: promote_to_entities(dims["entities_seed"], triples))
+    return out
 
 
 def unpersist_all(out: dict) -> None:

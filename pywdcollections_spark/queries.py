@@ -243,6 +243,19 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
 """)
 def a5_last_wins_upsert(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    # r7 A/B, negative result kept out: rewriting this as a map-side
+    # max_by(struct(event_id,value), struct(ts,event_id)) aggregate
+    # (guide §2.3) produces identical rows (event_id is unique, so
+    # (ts,event_id) totally orders each group — verified exceptAll==0
+    # at sf0.01/0.1/1.0) and shuffles only groups instead of every
+    # event row — the right shape on a splittable lake input. But
+    # struct-typed max_by falls back to SortAggregate, and on THIS
+    # layout (events.parquet = one unsplittable row group -> one scan
+    # task) the map-side sort of the full table is serialized into
+    # that single task, while the window form's sort runs post-
+    # exchange on all cores: measured ABBA medians 1.80 s (window) vs
+    # 2.01 s (max_by) at sf1.0/32 cores. Keep the window locally;
+    # plans/r07/a5_last_wins_upsert_*.txt holds both shapes.
     w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
     return (ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
             .select("user_id", "event_type", "event_id",
