@@ -170,15 +170,28 @@ def main():
 
     # r6: corpusops scale claims pinned as plan facts (VERDICT r5 #3).
     # pii_scrub and quality_repetition are per-row statistics: their
-    # plans must be pure row-local projections — zero Exchange, zero
-    # Generate (the measured 19 s explode->groupBy first cut of
-    # repetition would fail this instead of shipping).
+    # plans must be row-local projections — zero Generate, and no
+    # exchange EXCEPT the r7 scale-adaptive scan-spreading RoundRobin
+    # repartition (queries._spread — present only when the scan has
+    # fewer splits than the cluster has cores; a no-op at lake scale).
+    # A hashpartitioning/rangepartitioning/SinglePartition exchange
+    # would mean a real shuffle crept in (the measured 19 s
+    # explode->groupBy first cut of repetition would fail this).
+    def row_local_ok(plan):
+        import re
+        ex_args = re.findall(r"Arguments: (\w+)", plan)
+        bad = [a for a in ex_args
+               if a in ("hashpartitioning", "rangepartitioning",
+                        "SinglePartition")]
+        return "Generate" not in plan and not bad
     pii_plan = formatted(QUERIES["pii_scrub"](spark, sf))
     rep_plan = formatted(QUERIES["quality_repetition"](spark, sf))
-    check("pii_scrub is row-local: no Exchange, no Generate",
-          "Exchange" not in pii_plan and "Generate" not in pii_plan)
-    check("quality_repetition is row-local: no Exchange, no Generate",
-          "Exchange" not in rep_plan and "Generate" not in rep_plan)
+    check("pii_scrub is row-local: no Generate, no shuffle beyond scan-spread",
+          row_local_ok(pii_plan),
+          f"{pii_plan.count('RoundRobinPartitioning')} spread exchange")
+    check("quality_repetition is row-local: no Generate, no shuffle beyond scan-spread",
+          row_local_ok(rep_plan),
+          f"{rep_plan.count('RoundRobinPartitioning')} spread exchange")
     # decontam: the benchmark shingle set must come in as a BROADCAST
     # build side (AQE decides at runtime -> execute, then read the
     # final adaptive plan); the corpus stream is never sort-merge

@@ -155,3 +155,40 @@ def test_pack_sequences_deterministic(spark):
     a = pack_sequences(df, "doc_id", "n_tok").collect()
     b = pack_sequences(df.orderBy(F.rand(seed=3)), "doc_id", "n_tok").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_fingerprints_aggregate_strategy_and_parity(spark):
+    """r7 pin: simhash_fingerprints runs as explode -> ONE codegen
+    HashAggregate (per-bit vote sums), not 16 interpreted array folds
+    — and stays bit-identical to the bound-array fold form
+    (textops.simhash16_from_hashes) on edge cases: empty text, null
+    text, one token, repeated tokens, multi-space."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pywdcollections_spark.operators.dedup import simhash_fingerprints
+    from pywdcollections_spark.operators.textops import (
+        simhash16_from_hashes, token_hashes)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "one"),
+         (5, "a a a a b"), (6, "  spaced   out  tokens  ")],
+        "doc_id long, text string")
+    agg = {r["doc"]: r["simhash"]
+           for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    fold = {r["doc"]: r["simhash"] for r in
+            docs.select(F.col("doc_id").alias("doc"),
+                        token_hashes(F.col("text")).alias("_th"))
+                .select("doc", simhash16_from_hashes(F.col("_th"))
+                        .alias("simhash")).collect()}
+    assert agg == fold
+    out = simhash_fingerprints(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" in plan        # codegen agg, not SortAggregate
+    assert "Generate" in plan             # the token explode
+    assert plan.count("partial_sum") >= 16
