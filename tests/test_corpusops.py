@@ -192,3 +192,30 @@ def test_simhash_fingerprints_aggregate_strategy_and_parity(spark):
     assert "HashAggregate" in plan        # codegen agg, not SortAggregate
     assert "Generate" in plan             # the token explode
     assert plan.count("partial_sum") >= 16
+
+
+def test_minhash_and_lsh_expression_strategies_pinned(spark):
+    """Shape pins for silently-re-regressable expression strategies
+    (VERDICT r6 #3): (a) minhash_lsh_pairs must bind shingle hashes
+    ONCE before the k affine passes — the unbound form re-runs md5 per
+    shingle per hash function (k x md5 occurrences in the analyzed
+    plan; the bound form has one per docs-subtree instance); (b)
+    similarity.lsh_bucket must embed the hyperplanes as LITERAL double
+    arrays — the per-element integer-mixing form carries the 2654435761
+    multiplier into the expression tree and re-runs it per element per
+    row."""
+    from pyspark.sql import functions as F
+
+    from pywdcollections_spark.operators.dedup import minhash_lsh_pairs
+    from pywdcollections_spark.operators.similarity import lsh_bucket
+
+    docs = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=2, k=8, bands=4,
+                              threshold=0.1)
+    plan = pairs._jdf.queryExecution().analyzed().toString()
+    # bound: one md5 per band-rows subtree instance (self-join => 2);
+    # unbound would be k per instance (16+)
+    assert plan.count("md5") <= 4, f"md5 evaluated {plan.count('md5')}x"
+
+    bucket_expr = str(lsh_bucket(F.col("v"), n_planes=4, dim=8))
+    assert "2654435761" not in bucket_expr
