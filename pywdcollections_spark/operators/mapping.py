@@ -35,12 +35,14 @@ _OUT_COLS = _KEY_COLS + ["param_idx", "prop_key", "pred", "datatype", "val"]
 def resolve_template_names(templates: DataFrame, template_redirects: DataFrame) -> DataFrame:
     """J5: canonicalize template names through the redirect dim."""
     dim = template_redirects.select("site", "alias_lc", "canonical_lc")
+    # join + ONE select (not join/drop/withColumn/drop — every
+    # DataFrame op re-analyzes the plan eagerly, r7)
+    keep = [c for c in templates.columns if c != "tname"]
     return (templates
             .join(dim, (templates["site"] == dim["site"])
                   & (templates["tname"] == dim["alias_lc"]), "left")
-            .drop(dim["site"])
-            .withColumn("template_lc", F.coalesce("canonical_lc", "tname"))
-            .drop("alias_lc", "canonical_lc", "tname"))
+            .select(*[templates[c] for c in keep],
+                    F.coalesce("canonical_lc", "tname").alias("template_lc")))
 
 
 def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame:
@@ -51,8 +53,10 @@ def map_named_params(templates: DataFrame, template_map: DataFrame) -> DataFrame
                       F.posexplode("params").alias("param_idx", "param"))
               .withColumn("kv", F.split("param", "="))
               .filter(F.size("kv") == 2)  # exactly-2 rule (:360)
-              .withColumn("pkey", F.lower(python_trim(F.col("kv")[0])))
-              .withColumn("val", python_trim(F.col("kv")[1]))
+              # one withColumns: the trim UDFs still see only the
+              # 2-part rows (gated by the filter below them)
+              .withColumns({"pkey": F.lower(python_trim(F.col("kv")[0])),
+                            "val": python_trim(F.col("kv")[1])})
               .filter(F.length("val") > 2))
     matched = params.join(
         named_map,
@@ -110,20 +114,19 @@ def map_positional_params(templates: DataFrame, template_map: DataFrame) -> Data
     # the first qualifying index (equal strings have equal lengths, so an
     # earlier occurrence of the same value also qualifies).
     qualifying = F.filter(F.col("params"), lambda p: F.length(p) > 2)
-    first = (matched
-             .withColumn("param", F.try_element_at(qualifying, F.lit(1)))
-             .filter(F.col("param").isNotNull())
-             .withColumn("param_idx",
-                         (F.array_position("params", F.col("param")) - 1).cast("int")))
-
     # UDF input NULL-gated by pred (a when() outside the UDF does not
     # stop its per-row evaluation — see validate.py note)
     coord_val = coord_positional_udf(
         F.when(F.col("pred") == "P625", F.col("params")))
-    return (first
-            .withColumn("val", F.when(F.col("pred") == "P625", coord_val)
-                                .otherwise(F.col("param")))
-            .select(*_OUT_COLS))
+    return (matched
+            .withColumn("param", F.try_element_at(qualifying, F.lit(1)))
+            .filter(F.col("param").isNotNull())
+            .select(*_KEY_COLS,
+                    (F.array_position("params", F.col("param")) - 1)
+                    .cast("int").alias("param_idx"),
+                    "prop_key", "pred", "datatype",
+                    F.when(F.col("pred") == "P625", coord_val)
+                     .otherwise(F.col("param")).alias("val")))
 
 
 def map_parameters(templates: DataFrame, template_map: DataFrame,
