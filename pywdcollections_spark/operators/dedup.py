@@ -376,9 +376,12 @@ def near_dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                      F.least("a", "b").alias("v"))
             .distinct().localCheckpoint(eager=False))
     edges = base.filter(F.col("u") != F.col("v"))
-    n_edges = edges.count()          # materializes `base` once
-
-    converged = n_edges == 0
+    # no up-front edges.count() (r7): the first round's single
+    # fixpoint job materializes the lazy `base` checkpoint exactly the
+    # same way, and an edgeless input converges in that round (empty
+    # vs empty full-outer -> n_diff 0) — one fewer driver job per
+    # invocation for every input
+    converged = False
     rounds = 0
     while not converged and rounds < max_iters:
         rounds += 1
